@@ -1,0 +1,53 @@
+"""Engine configuration (SURVEY.md S6: the reference's YAML/server config
+collapses into one frozen dataclass; Spark engine knobs go through
+``semlink.session``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SemlinkConfig:
+    """All pipeline knobs in one place.
+
+    Mirrors the reference's per-language settings surface (max n-gram
+    length, normalization flags, filter thresholds) plus the scale knobs
+    the north rule requires (salting, checkpointing).
+    """
+
+    # --- text / mention generation (SURVEY T1-T4) ---
+    max_ngram_len: int = 3                 # reference `max_ngram_length`
+    normalize_dash: bool = True            # reference `normalize=dash`
+    normalize_accents: bool = True         # reference `normalize=accents`
+    normalize_lower: bool = True           # reference `normalize=lower`
+    strip_punctuation: bool = True
+
+    # --- candidate filters (SURVEY F1-F4) ---
+    min_sense_prob: float = 0.0            # reference `filter=senseProbability>=t`
+    min_link_prob: float = 0.0
+    largest_matching_only: bool = True     # reference `largest_matching`
+    top_k_senses: int = 5
+
+    # --- pairwise scoring (SURVEY X*, J3) ---
+    pair_block_cap: int = 1000             # max mentions per block kept for pairing
+    match_threshold: float = 0.5           # score above which a pair is an edge
+    context_weight: float = 4.0            # weight of context relatedness vs prior
+    max_metric_strlen: int = 64            # cap for the numpy Levenshtein/JW kernel
+
+    # --- skew handling (SURVEY J2) ---
+    salt_buckets: int = 16                 # probe-side salt fan-out for hot keys
+    hot_key_min_count: int = 100_000       # dictionary rows above this are "hot"
+
+    # --- clustering (SURVEY C2-C5) ---
+    max_cc_iterations: int = 50
+    checkpoint_dir: str = "/tmp/semlink_ckpt"
+
+    # --- IO ---
+    table_format: str = "parquet"          # "iceberg" on a real cluster (io.py)
+    shuffle_partitions: int = 32
+
+    extra_spark_conf: dict = field(default_factory=dict)
+
+
+DEFAULT = SemlinkConfig()
