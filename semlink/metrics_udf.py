@@ -1,0 +1,156 @@
+"""Vectorized string-similarity kernels (SURVEY X3/X4, §7.3 item 2).
+
+The north rule mandates "batched Jaro-Winkler/Levenshtein ... as
+vectorized pandas/Arrow UDFs (no per-row Python)". No string-metric
+library exists in the sandbox, so both metrics are implemented as
+batch-parallel numpy dynamic programs:
+
+- Levenshtein: classic row-sweep DP, vectorized ACROSS the batch; the
+  in-row left-neighbor dependency is resolved with the min-plus
+  prefix-scan identity  min_k≤j (v[k] + (j-k)) = j + cummin(v - j).
+- Jaro-Winkler: greedy window matching as a sweep over s1 positions with
+  per-pair numpy state; transpositions via cumsum scatter of matched
+  chars. Matches the textbook definition (Winkler prefix boost, scaling
+  0.1, prefix ≤ 4, boost threshold 0.7) — unit-tested against DuckDB's
+  `jaro_winkler_similarity` / `levenshtein` on random strings.
+
+Strings are truncated to ``max_len`` (default 64) code points — anchor
+surface forms are short; the cap bounds the O(L²) DP (documented
+SURVEY §7.3.2). Arrow moves the batches; Python never sees a row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+CHUNK = 4096          # bound the (chunk, L, L) scratch tensors
+DEFAULT_MAX_LEN = 64
+
+
+def _encode(strs: pd.Series, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """(N, max_len) int32 codepoint matrix (0-padded) + (N,) lengths."""
+    s = strs.fillna("").astype(str).str.slice(0, max_len)
+    lens = s.str.len().to_numpy(dtype=np.int32)
+    n = len(s)
+    mat = np.zeros((n, max_len), dtype=np.int32)
+    # single pass via concatenated codepoints (no per-row Python work
+    # beyond the C-implemented str join/ord path)
+    joined = "".join(s.tolist())
+    if joined:
+        flat = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+        idx = np.repeat(np.arange(n), lens)
+        pos = np.arange(len(flat)) - np.repeat(np.cumsum(lens) - lens, lens)
+        mat[idx, pos] = flat
+    return mat, lens
+
+
+def levenshtein_batch(a: pd.Series, b: pd.Series,
+                      max_len: int = DEFAULT_MAX_LEN) -> np.ndarray:
+    out = np.empty(len(a), dtype=np.int64)
+    for lo in range(0, len(a), CHUNK):
+        hi = min(lo + CHUNK, len(a))
+        out[lo:hi] = _lev_chunk(a.iloc[lo:hi], b.iloc[lo:hi], max_len)
+    return out
+
+
+def _lev_chunk(a: pd.Series, b: pd.Series, max_len: int) -> np.ndarray:
+    A, la = _encode(a, max_len)
+    B, lb = _encode(b, max_len)
+    n = len(la)
+    L2 = int(lb.max()) if n else 0
+    L1 = int(la.max()) if n else 0
+    j_idx = np.arange(L2 + 1)
+    row = np.broadcast_to(j_idx, (n, L2 + 1)).astype(np.int32).copy()
+    for i in range(1, L1 + 1):
+        active = la >= i                                  # pairs still in play
+        cost = (A[:, i - 1:i] != B[:, :L2]).astype(np.int32)
+        new = np.empty_like(row)
+        new[:, 0] = i
+        # substitution / insertion candidates
+        new[:, 1:] = np.minimum(row[:, :-1] + cost, row[:, 1:] + 1)
+        # deletion (left-neighbor) via min-plus prefix scan
+        new = np.minimum.accumulate(new - j_idx, axis=1) + j_idx
+        row = np.where(active[:, None], new, row)
+    return row[np.arange(n), np.minimum(lb, L2)].astype(np.int64)
+
+
+def jaro_winkler_batch(a: pd.Series, b: pd.Series,
+                       max_len: int = DEFAULT_MAX_LEN,
+                       prefix_scale: float = 0.1,
+                       boost_threshold: float = 0.7) -> np.ndarray:
+    out = np.empty(len(a), dtype=np.float64)
+    for lo in range(0, len(a), CHUNK):
+        hi = min(lo + CHUNK, len(a))
+        out[lo:hi] = _jw_chunk(a.iloc[lo:hi], b.iloc[lo:hi], max_len,
+                               prefix_scale, boost_threshold)
+    return out
+
+
+def _jw_chunk(a: pd.Series, b: pd.Series, max_len: int,
+              prefix_scale: float, boost_threshold: float) -> np.ndarray:
+    A, la = _encode(a, max_len)
+    B, lb = _encode(b, max_len)
+    n = len(la)
+    if n == 0:
+        return np.zeros(0)
+    L1 = int(la.max())
+    L2 = int(lb.max())
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)       # (n,)
+    j_idx = np.arange(max(L2, 1))
+    valid2 = j_idx[None, :] < lb[:, None]
+    B = B[:, :max(L2, 1)]
+
+    matched1 = np.zeros((n, max(L1, 1)), dtype=bool)
+    matched2 = np.zeros((n, max(L2, 1)), dtype=bool)
+    for i in range(L1):
+        in_play = la > i
+        lo_w = i - window
+        hi_w = i + window
+        cand = (
+            in_play[:, None]
+            & valid2
+            & ~matched2
+            & (j_idx[None, :] >= lo_w[:, None])
+            & (j_idx[None, :] <= hi_w[:, None])
+            & (B == A[:, i:i + 1])
+        )
+        has = cand.any(axis=1)
+        first = cand.argmax(axis=1)
+        matched1[has, i] = True
+        matched2[has, first[has]] = True
+
+    m = matched1.sum(axis=1)
+
+    # transpositions: compare matched chars of s1 (in s1 order) with
+    # matched chars of s2 (in s2 order)
+    max_m = int(m.max()) if n else 0
+    t = np.zeros(n, dtype=np.int64)
+    if max_m > 0:
+        M1 = np.zeros((n, max_m), dtype=np.int32)
+        M2 = np.zeros((n, max_m), dtype=np.int32)
+        r1, c1 = np.nonzero(matched1)
+        o1 = (np.cumsum(matched1, axis=1) - 1)[r1, c1]
+        M1[r1, o1] = A[r1, c1]
+        r2, c2 = np.nonzero(matched2)
+        o2 = (np.cumsum(matched2, axis=1) - 1)[r2, c2]
+        M2[r2, o2] = B[r2, c2]
+        t = ((M1 != M2) & (np.arange(max_m)[None, :] < m[:, None])).sum(axis=1) // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (
+            m / np.maximum(la, 1)
+            + m / np.maximum(lb, 1)
+            + (m - t) / np.maximum(m, 1)
+        ) / 3.0
+    # m == 0 (incl. both-empty) → 0.0, matching DuckDB's
+    # jaro_winkler_similarity (textbook would give 1.0 for ''≡'';
+    # we follow the oracle for testability)
+    jaro = np.where(m == 0, 0.0, jaro)
+
+    # Winkler prefix boost
+    pref_eq = (A[:, :4] == B[:, :4]) & (np.arange(4)[None, :] < np.minimum(la, lb)[:, None])
+    ell = np.where(pref_eq.cumprod(axis=1).astype(bool), 1, 0).sum(axis=1)
+    jw = np.where(jaro > boost_threshold,
+                  jaro + prefix_scale * ell * (1.0 - jaro), jaro)
+    return jw
