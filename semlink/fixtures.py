@@ -256,13 +256,20 @@ def generate(scale: str = "tiny") -> Fixture:
         if _rand(f"hot?:{ci}") < 0.55:      # the hot anchor (~5% of mentions)
             topic.append((hot_entity, _norm_py(titles[hot_entity])))
 
-        # schedule ≥2 mentions per topic entity across the conversation
-        schedule: dict[int, list[tuple[int, str]]] = {}
+        # schedule ≥2 mentions per topic entity across the conversation;
+        # slotting guarantees nothing is dropped (≤2 mentions/turn, turn
+        # count grown if needed) — cue mentions MUST land or minority
+        # senses lose their disambiguating context
+        flat: list[tuple[int, str]] = []
         for k, (ent, anch) in enumerate(topic):
             reps = 2 + _h(f"reps:{ci}:{k}") % 2
-            for r in range(reps):
-                t = _h(f"at:{ci}:{k}:{r}") % n_turns
-                schedule.setdefault(t, []).append((ent, anch))
+            flat.extend([(ent, anch)] * reps)
+        flat.sort(key=lambda ea: _h(f"ord:{ci}:{ea[0]}:{len(flat)}"))
+        n_turns = max(n_turns, (len(flat) + 1) // 2)
+        schedule: dict[int, list[tuple[int, str]]] = {}
+        for k, ea in enumerate(flat):
+            slot = k * (2 * n_turns) // max(len(flat), 1)
+            schedule.setdefault(slot // 2, []).append(ea)
 
         for ti in range(n_turns):
             is_tool = _rand(f"tool:{ci}:{ti}") < 0.08

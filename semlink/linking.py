@@ -1,0 +1,249 @@
+"""Candidate generation + sense resolution (SURVEY J1-J6, F1-F4, A4-A6,
+X6, O4).
+
+Pipeline spine:
+
+  transcripts ──clean/tokenize/ngram-explode──▶ mentions
+  mentions ⋈ broadcast(anchors) on ngram_norm = anchor_norm  (J1: blocking)
+  └─ salted variant for hot keys (J2)
+  largest-matching filter (F3), threshold filters (F1)
+  context-overlap re-scoring (X6, Milne-Witten-style shared-inlink
+  relatedness within a conversation) ──▶ resolved top-1 sense (O4)
+
+Scale notes (the 100 TB story):
+- The anchor dictionary is a dimension table: broadcast when it fits
+  (`spark.sql.autoBroadcastJoinThreshold` / explicit broadcast()); at
+  full-Wikipedia scale (~10 GB) switch to a shuffle hash join on
+  anchor_norm — `salted_candidate_join` keeps hot surface forms from
+  overloading single shuffle partitions.
+- Everything below is whole-stage-codegen SQL; no Python UDFs on this
+  path at all. The only shuffles are the context-feature groupBys,
+  keyed by conv_id (natural partitioning of transcripts) — co-located
+  if the input table is bucketed by conv_id.
+
+Reference semantics: probability fields (linkProbability,
+priorProbability, senseProbability) as defined in Odijk et al. OAIR'13
+§3 / Milne & Witten CIKM'08; context-overlap disambiguation follows
+the Milne-Witten relatedness idea (shared inlinks) used by the
+reference's context-features processor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import DEFAULT, SemlinkConfig
+from .ngrams import explode_mentions
+from .textnorm import clean_expr
+
+
+# ------------------------------------------------------------ mentions
+
+def generate_mentions(transcripts: DataFrame,
+                      cfg: SemlinkConfig = DEFAULT) -> DataFrame:
+    """T1-T4 + T3: transcript turns → candidate mentions."""
+    t = transcripts.select(
+        "conv_id", "turn_idx",
+        clean_expr(F.col("text")).alias("text"),
+    )
+    return explode_mentions(t, text_col="text",
+                            key_cols=("conv_id", "turn_idx"),
+                            max_n=cfg.max_ngram_len)
+
+
+# ------------------------------------------------------------ dictionary probs
+
+def with_probabilities(anchors: DataFrame) -> DataFrame:
+    """A4-A6: attach prior / linkProbability / senseProbability columns."""
+    return (
+        anchors
+        .withColumn("prior_prob",
+                    F.col("sense_link_count") / F.col("anchor_link_total"))
+        .withColumn("link_prob",
+                    F.col("anchor_link_total") / F.col("anchor_text_total"))
+        .withColumn("sense_prob",
+                    F.col("sense_link_count") / F.col("anchor_text_total"))
+    )
+
+
+# ------------------------------------------------------------ blocking join
+
+def candidate_join(mentions: DataFrame, anchors: DataFrame,
+                   cfg: SemlinkConfig = DEFAULT,
+                   use_broadcast: bool = True) -> DataFrame:
+    """J1: the blocking step — equi join mentions against the anchor
+    dictionary on the normalized surface form."""
+    a = with_probabilities(anchors).withColumnRenamed("anchor_norm", "ngram_norm")
+    if use_broadcast:
+        a = F.broadcast(a)
+    return mentions.join(a, "ngram_norm", "inner")
+
+
+def salted_candidate_join(mentions: DataFrame, anchors: DataFrame,
+                          hot_keys: DataFrame,
+                          cfg: SemlinkConfig = DEFAULT) -> DataFrame:
+    """J2: skew-safe variant for the shuffle-join regime.
+
+    ``hot_keys`` is a small DataFrame(anchor_norm) of surface forms whose
+    probe-side frequency exceeds cfg.hot_key_min_count (computed from O2
+    metrics of a prior run, or a sampled count). Hot dictionary rows are
+    exploded ×salt_buckets; probe rows get a deterministic salt from
+    mention_id, so hot blocks spread over salt_buckets partitions.
+    Non-hot keys take the plain join. Result identical to candidate_join.
+    """
+    S = cfg.salt_buckets
+    hot = F.broadcast(hot_keys.select("anchor_norm").distinct())
+    a = with_probabilities(anchors)
+
+    a_hot = (a.join(hot, "anchor_norm", "left_semi")
+             .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))))
+    a_cold = a.join(hot, "anchor_norm", "left_anti")
+
+    m = mentions.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("mention_id")), F.lit(S)).cast("int"))
+    m_hot = m.join(hot.withColumnRenamed("anchor_norm", "ngram_norm"),
+                   "ngram_norm", "left_semi")
+    m_cold = m.join(hot.withColumnRenamed("anchor_norm", "ngram_norm"),
+                    "ngram_norm", "left_anti")
+
+    j_hot = m_hot.join(
+        a_hot.withColumnRenamed("anchor_norm", "ngram_norm"),
+        ["ngram_norm", "salt"], "inner")
+    j_cold = m_cold.join(
+        a_cold.withColumnRenamed("anchor_norm", "ngram_norm"),
+        "ngram_norm", "inner")
+    return j_hot.drop("salt").unionByName(j_cold.drop("salt"))
+
+
+# ------------------------------------------------------------ filters
+
+def largest_matching_filter(cands: DataFrame) -> DataFrame:
+    """F3: keep only maximal matched spans per turn (reference setting
+    `largest_matching`). A candidate is dropped iff a strictly larger
+    matched span of the same turn contains it.
+
+    Executed as a hash join on (conv_id, turn_idx) + residual span
+    predicate, against the distinct matched spans (small per turn).
+    """
+    spans = cands.select("conv_id", "turn_idx", "span_start", "span_len").distinct()
+    bigger = spans.select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.col("span_start").alias("b_start"), F.col("span_len").alias("b_len"))
+    return cands.join(
+        bigger,
+        on=[
+            cands.conv_id == bigger.b_conv,
+            cands.turn_idx == bigger.b_turn,
+            bigger.b_start <= cands.span_start,
+            (bigger.b_start + bigger.b_len) >= (cands.span_start + cands.span_len),
+            bigger.b_len > cands.span_len,
+        ],
+        how="left_anti",
+    )
+
+
+def threshold_filter(cands: DataFrame, cfg: SemlinkConfig = DEFAULT) -> DataFrame:
+    """F1: the reference's `filter=senseProbability>=t,linkProbability>=t`."""
+    out = cands
+    if cfg.min_sense_prob > 0:
+        out = out.filter(F.col("sense_prob") >= cfg.min_sense_prob)
+    if cfg.min_link_prob > 0:
+        out = out.filter(F.col("link_prob") >= cfg.min_link_prob)
+    return out
+
+
+def unique_filter(cands: DataFrame) -> DataFrame:
+    """F2: one row per (mention, target), keeping max sense_prob."""
+    w = Window.partitionBy("mention_id", "target_id").orderBy(
+        F.desc("sense_prob"), F.asc("target_id"))
+    return (cands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ------------------------------------------------------------ context resolution
+
+def relatedness_table(page_links: DataFrame, entities: DataFrame) -> DataFrame:
+    """X6 precompute: shared-inlink counts between entity pages.
+
+    rel(e1, e2) = |inlinks(e1) ∩ inlinks(e2)| — the numerator of
+    Milne-Witten relatedness. Computed as a self-join of the inlink
+    table on the source page, restricted to entity targets.
+
+    Scale: at Wikipedia scale the inlink table is ~1e9 rows; the
+    self-join explodes on high-degree sources, so production would cap
+    per-source fan-out (drop sources with >K outlinks — they carry
+    little signal, exactly as Milne-Witten's log formula discounts
+    them). Fixture scale needs no cap; flagged for O2 metrics.
+    """
+    ents = entities.select(F.col("target_id").alias("e")).distinct()
+    il = (page_links
+          .join(ents.withColumnRenamed("e", "dst_id"), "dst_id", "left_semi")
+          .select("src_id", F.col("dst_id").alias("e")))
+    l = il.withColumnRenamed("e", "e1")
+    r = il.withColumnRenamed("e", "e2")
+    return (l.join(r, "src_id")
+            .filter(F.col("e1") != F.col("e2"))
+            .groupBy("e1", "e2").agg(F.count("*").alias("shared_inlinks")))
+
+
+def resolve_senses(cands: DataFrame, relatedness: DataFrame,
+                   cfg: SemlinkConfig = DEFAULT) -> DataFrame:
+    """X6 + O4: context-overlap re-scoring, then top-1 sense per mention.
+
+    context(m) = entities of unambiguous candidates in the same
+    conversation (excluding mention m itself);
+    score(s) = prior(s) * (1 + W * Σ_ctx shared_inlinks(s, ctx)).
+
+    Deterministic tie-break: (score desc, sense_prob desc, target_id).
+    """
+    n_senses = cands.groupBy("ngram_norm").agg(
+        F.count_distinct("target_id").alias("n_senses"))
+    c = cands.join(F.broadcast(n_senses), "ngram_norm")
+
+    ctx = (c.filter(F.col("n_senses") == 1)
+           .select("conv_id", F.col("target_id").alias("ctx_entity"),
+                   F.col("mention_id").alias("ctx_mention"))
+           .distinct())
+
+    rel = relatedness.select(
+        F.col("e1").alias("target_id"), F.col("e2").alias("ctx_entity"),
+        "shared_inlinks")
+
+    ctx_score = (
+        c.select("mention_id", "conv_id", "target_id")
+        .join(ctx, "conv_id")
+        .filter(F.col("ctx_mention") != F.col("mention_id"))
+        .drop("ctx_mention")
+        .distinct()                      # one vote per distinct ctx entity
+        .join(F.broadcast(rel), ["target_id", "ctx_entity"], "inner")
+        .groupBy("mention_id", "target_id")
+        .agg(F.sum("shared_inlinks").alias("ctx_rel"))
+    )
+
+    scored = (
+        c.join(ctx_score, ["mention_id", "target_id"], "left")
+        .withColumn("ctx_rel", F.coalesce(F.col("ctx_rel"), F.lit(0.0)))
+        .withColumn("score",
+                    F.col("prior_prob")
+                    * (F.lit(1.0) + F.lit(cfg.context_weight) * F.col("ctx_rel")))
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc("score"), F.desc("sense_prob"), F.asc("target_id"))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 1).drop("_rk"))
+
+
+def link_transcripts(transcripts: DataFrame, anchors: DataFrame,
+                     page_links: DataFrame,
+                     cfg: SemlinkConfig = DEFAULT) -> DataFrame:
+    """End-to-end linking: transcripts → resolved mentions
+    (mention_id, conv_id, turn_idx, span_*, ngram, ngram_norm,
+    target_id, target_title, probabilities, score)."""
+    mentions = generate_mentions(transcripts, cfg)
+    cands = candidate_join(mentions, anchors, cfg)
+    if cfg.largest_matching_only:
+        cands = largest_matching_filter(cands)
+    cands = threshold_filter(cands, cfg)
+    rel = relatedness_table(page_links, anchors)
+    return resolve_senses(cands, rel, cfg)

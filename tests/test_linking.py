@@ -1,0 +1,81 @@
+"""J1/F3/X6/O4: end-to-end linking on the tiny fixture — every
+ground-truth mention must be found, survive largest-matching, and
+resolve to its true entity (context disambiguation included)."""
+import pytest
+from pyspark.sql import functions as F
+
+from semlink.config import SemlinkConfig
+from semlink.linking import (candidate_join, generate_mentions,
+                             largest_matching_filter, link_transcripts,
+                             relatedness_table, salted_candidate_join)
+
+
+@pytest.fixture(scope="module")
+def resolved(spark, fx_tiny_dfs):
+    d = fx_tiny_dfs
+    out = link_transcripts(d["transcripts"], d["anchors"], d["page_links"])
+    out.cache()
+    return out
+
+
+def test_all_gt_mentions_found_and_maximal(resolved, fx_tiny_dfs):
+    got = {r.mention_id for r in resolved.select("mention_id").collect()}
+    want = {r.mention_id for r in fx_tiny_dfs["mentions_gt"].collect()}
+    assert got == want
+
+
+def test_resolution_accuracy_is_exact(resolved, fx_tiny_dfs):
+    joined = resolved.alias("r").join(
+        fx_tiny_dfs["mentions_gt"].alias("g"), "mention_id")
+    n = joined.count()
+    ok = joined.filter(F.col("r.target_id") == F.col("g.true_entity")).count()
+    assert n == ok and n > 0
+
+
+def test_blocking_key_matches_generator(resolved, fx_tiny_dfs):
+    # the Spark-side normalized ngram must equal the generator's
+    # anchor_norm for every ground-truth mention (byte-identical
+    # blocking keys, SURVEY §7.3.3)
+    j = resolved.alias("r").join(fx_tiny_dfs["mentions_gt"].alias("g"), "mention_id")
+    bad = j.filter(F.col("r.ngram_norm") != F.col("g.anchor_norm")).count()
+    assert bad == 0
+
+
+def test_largest_matching_drops_contained(spark, fx_tiny_dfs):
+    # without F3, alias subgrams inside 2-word titles produce extra
+    # candidates; F3 must remove exactly those
+    t = fx_tiny_dfs["transcripts"]
+    m = generate_mentions(t)
+    c = candidate_join(m, fx_tiny_dfs["anchors"])
+    before = c.select("mention_id").distinct().count()
+    after = largest_matching_filter(c).select("mention_id").distinct().count()
+    gt = fx_tiny_dfs["mentions_gt"].count()
+    assert after == gt
+    assert before > after  # fixture really exercises F3
+
+
+def test_salted_join_equals_plain_join(spark, fx_tiny_dfs):
+    d = fx_tiny_dfs
+    m = generate_mentions(d["transcripts"])
+    plain = candidate_join(m, d["anchors"])
+    hot = spark.createDataFrame(
+        [("legion",), ("mercury",)], "anchor_norm string")
+    # also include the fixture's genuinely-hot key
+    from semlink.fixtures import generate
+    salted = salted_candidate_join(m, d["anchors"], hot,
+                                   SemlinkConfig(salt_buckets=4))
+    cols = ["mention_id", "target_id"]
+    assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0
+    assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0
+
+
+def test_relatedness_symmetric(spark, fx_tiny_dfs):
+    rel = relatedness_table(fx_tiny_dfs["page_links"], fx_tiny_dfs["anchors"])
+    r = rel.select(
+        F.least("e1", "e2").alias("a"), F.greatest("e1", "e2").alias("b"),
+        "shared_inlinks")
+    asym = (r.groupBy("a", "b")
+            .agg(F.count_distinct("shared_inlinks").alias("n"),
+                 F.count("*").alias("c"))
+            .filter((F.col("n") != 1) | (F.col("c") != 2)).count())
+    assert asym == 0
