@@ -1,0 +1,165 @@
+"""Transitive clustering: iterative connected components with
+checkpointed, resumable supersteps (SURVEY C1-C7).
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC 2014). Converges in O(log² n) rounds on adversarial
+graphs, each round two shuffles (groupBy node). Node ids are mention_id
+strings; ordering is Spark's UTF8 binary ordering, identical to
+Python's for ASCII ids, so cluster_id = min member id is deterministic.
+
+Superstep protocol (north rule: "checkpointed per superstep ...
+resume any superstep from checkpoint"):
+- after each (large-star + small-star) round, edges are written to
+  `<ckpt>/step=<i>` via TableIO (parquet `_SUCCESS` / Iceberg snapshot
+  = atomic commit) and read back — a hard lineage cut, without which
+  the plan tree grows exponentially across iterations;
+- `run_connected_components(resume=True)` scans for the highest
+  committed step and continues from it; a killed run re-enters at the
+  superstep boundary and produces byte-identical clusters (tested).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT, SemlinkConfig
+from .io import TableIO
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighbor
+    (including u itself). [Kiveris14, Alg. 1]"""
+    nbr = _sym(edges)
+    m = nbr.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = m.select("src", F.least("mn", F.col("src")).alias("mn"))
+    return (nbr.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low, then connect all small neighbors (and u)
+    to the min neighbor. [Kiveris14, Alg. 2]"""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"))
+    m = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    nodes = oriented.select("src", F.col("src").alias("dst2")) \
+        .withColumnRenamed("dst2", "dst")
+    union = oriented.union(nodes)
+    return (union.join(m, "src")
+            .filter(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .distinct())
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free under ANSI mode
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h")).first()
+    return row.n, row.h
+
+
+def run_connected_components(
+    edges: DataFrame,
+    cfg: SemlinkConfig = DEFAULT,
+    ckpt_dir: str | None = None,
+    resume: bool = False,
+    stop_after_step: int | None = None,
+) -> DataFrame:
+    """edges(src,dst) → labels(mention_id, cluster_id) for all nodes
+    appearing in edges. C2-C6.
+
+    ``stop_after_step`` exists for the kill/resume test: the job stops
+    right after committing that superstep's checkpoint, exactly like a
+    preempted cluster job would.
+    """
+    spark = edges.sparkSession
+    ckpt = ckpt_dir or cfg.checkpoint_dir
+    io = TableIO(fmt=cfg.table_format, root=ckpt)
+
+    start = 0
+    cur = edges.select("src", "dst")
+    if resume:
+        step = _max_committed_step(spark, io, ckpt)
+        if step is not None:
+            cur = io.read(spark, f"edges_step_{step}")
+            start = step + 1
+    elif os.path.isdir(ckpt) and io.fmt == "parquet":
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    prev_fp = None
+    for i in range(start, cfg.max_cc_iterations):
+        cur = small_star(large_star(cur))
+        cur = io.checkpoint(cur, f"edges_step_{i}")   # atomic commit + lineage cut
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+        if stop_after_step is not None and i >= stop_after_step:
+            return None  # simulated kill (checkpoint is committed)
+
+    # converged: every node's label is its min neighbor (or itself)
+    nbr = _sym(cur)
+    labels = nbr.groupBy("src").agg(F.min("dst").alias("mn"))
+    return labels.select(
+        F.col("src").alias("mention_id"),
+        F.least("mn", F.col("src")).alias("cluster_id"))
+
+
+def _max_committed_step(spark: SparkSession, io: TableIO, ckpt: str) -> int | None:
+    best = None
+    i = 0
+    while io.exists(spark, f"edges_step_{i}"):
+        best = i
+        i += 1
+    return best
+
+
+def cluster_assignments(all_mentions: DataFrame, labels: DataFrame) -> DataFrame:
+    """C6: every mention gets a cluster; edge-less mentions are
+    singletons labeled by their own id."""
+    return (all_mentions.select("mention_id")
+            .join(labels, "mention_id", "left")
+            .select("mention_id",
+                    F.coalesce("cluster_id", "mention_id").alias("cluster_id")))
+
+
+def pairwise_f1(assignments: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """C7: precision/recall/F1 of same-cluster prediction over the
+    labeled pair set (BASELINE gate: F1 ≥ 0.99)."""
+    a_l = assignments.select(
+        F.col("mention_id").alias("left_mention_id"),
+        F.col("cluster_id").alias("cl_l"))
+    a_r = assignments.select(
+        F.col("mention_id").alias("right_mention_id"),
+        F.col("cluster_id").alias("cl_r"))
+    j = (labeled_pairs
+         .join(a_l, "left_mention_id", "left")
+         .join(a_r, "right_mention_id", "left")
+         .withColumn("pred", (F.col("cl_l") == F.col("cl_r"))
+                     & F.col("cl_l").isNotNull()))
+    agg = j.agg(
+        F.sum((F.col("pred") & F.col("label")).cast("long")).alias("tp"),
+        F.sum((F.col("pred") & ~F.col("label")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred") & F.col("label")).cast("long")).alias("fn"),
+        F.count("*").alias("n")).first()
+    tp, fp, fn = agg.tp or 0, agg.fp or 0, agg.fn or 0
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "n": agg.n,
+            "precision": p, "recall": r, "f1": f1}

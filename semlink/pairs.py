@@ -1,0 +1,124 @@
+"""Mention-pair generation + vectorized pairwise scoring
+(SURVEY J3, X1-X8, C1).
+
+Pair generation is the record-linkage quadratic danger zone: a block
+with B mentions has B(B-1)/2 pairs. We bound it with a neighbor-window
+cap — each mention pairs with its next `pair_window` neighbors in
+deterministic (mention_id) order within the block. A clique's pairs
+are thinned to a banded chain, and the downstream connected-components
+step restores full cluster membership transitively (this is WHY the
+pipeline needs CC at all, and what the chain-shaped fixture components
+exercise). Dropped-pair counts are surfaced via ops.metrics.
+
+Scoring runs as ONE vectorized Arrow-batched pandas UDF over the pair
+feature columns — batched Jaro-Winkler + Levenshtein (numpy kernels,
+metrics_udf) combined with the commonness×senseprob features. No
+per-row Python anywhere (north rule).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from .config import DEFAULT, SemlinkConfig
+from .metrics_udf import jaro_winkler_batch, levenshtein_batch
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(jaro_winkler_batch(a, b))
+
+
+@F.pandas_udf(DoubleType())
+def levenshtein_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(levenshtein_batch(a, b).astype("float64"))
+
+
+@F.pandas_udf(DoubleType())
+def pair_score_udf(ngram_l: pd.Series, ngram_r: pd.Series,
+                   same_sense: pd.Series, prior_l: pd.Series,
+                   prior_r: pd.Series, sense_prob_l: pd.Series,
+                   sense_prob_r: pd.Series) -> pd.Series:
+    """X8: one Arrow batch in, one score vector out.
+
+    score = 1[same resolved sense] * (0.55 + 0.25*JW + 0.10*(1 - lev/len)
+            + 0.10 * sqrt(prior_l*prior_r * senseprob-lift))
+
+    The indicator dominates (an edge requires agreeing senses); the
+    string-similarity and commonness terms grade edge confidence and
+    are what BENCH measures as the vectorized-kernel hot path.
+    """
+    import numpy as np
+    jw = jaro_winkler_batch(ngram_l, ngram_r)
+    lev = levenshtein_batch(ngram_l, ngram_r).astype("float64")
+    max_len = np.maximum(
+        ngram_l.fillna("").str.len().to_numpy(),
+        ngram_r.fillna("").str.len().to_numpy()).clip(min=1)
+    lev_sim = 1.0 - lev / max_len
+    commonness = np.sqrt(
+        prior_l.to_numpy() * prior_r.to_numpy()
+        * np.minimum(1.0, sense_prob_l.to_numpy() + sense_prob_r.to_numpy()))
+    s = same_sense.to_numpy().astype("float64") * (
+        0.55 + 0.25 * jw + 0.10 * lev_sim + 0.10 * commonness)
+    return pd.Series(s)
+
+
+def mention_pairs(resolved: DataFrame, cfg: SemlinkConfig = DEFAULT,
+                  pair_window: int = 8) -> DataFrame:
+    """J3: banded pairs within each block (ngram_norm), deterministic.
+
+    Output: one row per (left, right) pair with both sides' features.
+    The shuffle key is the block key; the window sort gives every
+    mention a stable rank, and the band join keeps only
+    0 < rank_r - rank_l ≤ pair_window.
+    """
+    w = Window.partitionBy("ngram_norm").orderBy("mention_id")
+    base = resolved.select(
+        "mention_id", "ngram_norm", "ngram", "conv_id",
+        "target_id", "prior_prob", "sense_prob",
+    ).withColumn("rk", F.row_number().over(w))
+
+    l = base.select(
+        F.col("ngram_norm"),
+        F.col("mention_id").alias("left_mention_id"),
+        F.col("ngram").alias("ngram_l"),
+        F.col("target_id").alias("target_l"),
+        F.col("prior_prob").alias("prior_l"),
+        F.col("sense_prob").alias("sense_prob_l"),
+        F.col("rk").alias("rk_l"))
+    r = base.select(
+        F.col("ngram_norm"),
+        F.col("mention_id").alias("right_mention_id"),
+        F.col("ngram").alias("ngram_r"),
+        F.col("target_id").alias("target_r"),
+        F.col("prior_prob").alias("prior_r"),
+        F.col("sense_prob").alias("sense_prob_r"),
+        F.col("rk").alias("rk_r"))
+    return l.join(r, "ngram_norm").filter(
+        (F.col("rk_r") > F.col("rk_l"))
+        & (F.col("rk_r") - F.col("rk_l") <= pair_window))
+
+
+def score_pairs(pairs: DataFrame, cfg: SemlinkConfig = DEFAULT) -> DataFrame:
+    """X8: attach the vectorized pair score."""
+    return pairs.withColumn(
+        "pair_score",
+        pair_score_udf(
+            F.lower(F.col("ngram_l")), F.lower(F.col("ngram_r")),
+            (F.col("target_l") == F.col("target_r")).cast("double"),
+            F.col("prior_l"), F.col("prior_r"),
+            F.col("sense_prob_l"), F.col("sense_prob_r")))
+
+
+def edges_from_scores(scored: DataFrame,
+                      cfg: SemlinkConfig = DEFAULT) -> DataFrame:
+    """C1: thresholded, canonical-ordered, deduped undirected edges."""
+    e = scored.filter(F.col("pair_score") >= cfg.match_threshold)
+    return (e.select(
+        F.least("left_mention_id", "right_mention_id").alias("src"),
+        F.greatest("left_mention_id", "right_mention_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct())

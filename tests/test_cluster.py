@@ -1,0 +1,84 @@
+"""C2-C7: large-star/small-star CC vs a Python union-find oracle;
+checkpoint/resume byte-identity."""
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from semlink.cluster import (cluster_assignments, pairwise_f1,
+                             run_connected_components)
+from semlink.config import SemlinkConfig
+
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _graphs():
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
+    star = [("m000", f"m{i:03d}") for i in range(1, 30)]
+    rnd = []
+    for i in range(300):
+        h = hashlib.md5(f"g:{i}".encode()).hexdigest()
+        a, b = int(h[:6], 16) % 120, int(h[6:12], 16) % 120
+        if a != b:
+            rnd.append((f"r{a:03d}", f"r{b:03d}"))
+    two = [("a", "b"), ("c", "d"), ("e", "f"), ("b", "c")]
+    return {"chain": chain, "star": star, "random": rnd, "mixed": two}
+
+
+@pytest.mark.parametrize("name", list(_graphs().keys()))
+def test_cc_matches_union_find(spark, tmp_path, name):
+    edges = _graphs()[name]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    cfg = SemlinkConfig(checkpoint_dir=str(tmp_path / name))
+    labels = run_connected_components(df, cfg, ckpt_dir=str(tmp_path / name))
+    got = {r.mention_id: r.cluster_id for r in labels.collect()}
+    assert got == _uf_oracle(edges)
+
+
+def test_cc_resume_identical(spark, tmp_path):
+    edges = _graphs()["chain"] + _graphs()["random"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    d1, d2 = str(tmp_path / "full"), str(tmp_path / "resumed")
+    cfg = SemlinkConfig()
+
+    full = run_connected_components(df, cfg, ckpt_dir=d1)
+    full_rows = sorted(map(tuple, full.collect()))
+
+    # kill after superstep 0, then resume from checkpoint
+    r = run_connected_components(df, cfg, ckpt_dir=d2, stop_after_step=0)
+    assert r is None
+    resumed = run_connected_components(df, cfg, ckpt_dir=d2, resume=True)
+    assert sorted(map(tuple, resumed.collect())) == full_rows
+
+
+def test_singletons_and_f1(spark, tmp_path):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    mentions = spark.createDataFrame(
+        [("a",), ("b",), ("z",)], "mention_id string")
+    labels = run_connected_components(edges, ckpt_dir=str(tmp_path / "s"))
+    assign = cluster_assignments(mentions, labels)
+    got = {r.mention_id: r.cluster_id for r in assign.collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+    lp = spark.createDataFrame(
+        [("a", "b", "k", True), ("a", "z", "k", True), ("b", "z", "k", False)],
+        "left_mention_id string, right_mention_id string, block_key string, label boolean")
+    m = pairwise_f1(assign, lp)
+    assert m["tp"] == 1 and m["fn"] == 1 and m["fp"] == 0
+    assert abs(m["precision"] - 1.0) < 1e-12
+    assert abs(m["recall"] - 0.5) < 1e-12
