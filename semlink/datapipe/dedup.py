@@ -1,0 +1,162 @@
+"""Deduplication family (training-data pipeline core):
+
+- exact: hash-groupBy on content digest — one shuffle on the digest,
+  map-side combine, no skew (md5 keys are uniform);
+- MinHash + LSH: shingle → k min-hashes → banded bucket keys →
+  bucket-join for candidate pairs. The min-hash permutations are
+  md5(i || shingle) — engine-portable (identical in DuckDB), seedless,
+  deterministic. At 100 TB the bucket join is the only shuffle and its
+  keys are uniform md5s; candidate pairs per bucket are capped;
+- SimHash: bitwise majority over token hashes, Hamming-bucket pairs;
+- n-gram Jaccard: exact verification for candidate pairs;
+- embedding cosine near-dup: see simsearch.py.
+
+All implemented as Spark SQL expressions (no Python UDFs): the hash
+workhorse is md5(), portable across engines for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 8          # permutations
+LSH_BANDS = 4          # bands of size 2
+SIMHASH_BITS = 16
+
+
+def _tokens(col: Column) -> Column:
+    return F.array_remove(F.split(F.trim(col), r" +"), "")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: digest → (keeper, dup_count)."""
+    return (df
+            .withColumn("text_hash", F.md5(F.col(text_col)))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keeper_doc_id"),
+                 F.count("*").alias("dup_count")))
+
+
+def shingle_set(text_col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of a document."""
+    toks = _tokens(text_col)
+    sz = F.size(toks)
+    sh = F.when(
+        sz >= n,
+        F.transform(F.sequence(F.lit(0), sz - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(sh)
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       k: int = MINHASH_K) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): min over shingles of md5(i:shingle).
+
+    Pure SQL; the per-permutation "hash" is the lexicographic min of a
+    salted md5 — portable and uniform. One scan, no shuffle.
+    """
+    d = df.select(F.col(id_col), shingle_set(F.col(text_col)).alias("sh"))
+
+    def mh(i: int):
+        # NB: the transform lambda must be unary — PySpark passes the
+        # element index as a second argument if the lambda accepts one
+        return F.array_min(F.transform(
+            F.col("sh"),
+            lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))))
+
+    return d.withColumns({f"mh_{i}": mh(i) for i in range(k)}).drop("sh")
+
+
+def lsh_buckets(sigs: DataFrame, id_col: str = "doc_id",
+                bands: int = LSH_BANDS) -> DataFrame:
+    """(id, band, bucket): bucket = md5(band | mh_2b | mh_2b+1)."""
+    rows = []
+    for b in range(bands):
+        rows.append(sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", F.lit(str(b)),
+                              F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}")))
+            .alias("bucket")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id",
+                        max_bucket: int = 64) -> DataFrame:
+    """Candidate pairs sharing any (band, bucket); oversized buckets
+    (degenerate content) are dropped and should be counted by the
+    caller's metrics — the standard LSH skew guard."""
+    sized = buckets.groupBy("band", "bucket").agg(
+        F.count("*").alias("bn"))
+    ok = sized.filter(F.col("bn") <= max_bucket).select("band", "bucket")
+    b = buckets.join(ok, ["band", "bucket"], "left_semi")
+    l = b.select("band", "bucket", F.col(id_col).alias("left_id"))
+    r = b.select("band", "bucket", F.col(id_col).alias("right_id"))
+    return (l.join(r, ["band", "bucket"])
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id").distinct())
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (the verify step after
+    LSH). Explode + join on shingle, then |∩| / (|A|+|B|-|∩|)."""
+    sh = df.select(F.col(id_col).alias("_id"),
+                   shingle_set(F.col(text_col), n).alias("sh"))
+    sizes = sh.select("_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("_id", F.explode("sh").alias("s"))
+    inter = (pairs
+             .join(ex.withColumnRenamed("_id", "left_id"), "left_id")
+             .join(ex.withColumnRenamed("_id", "right_id")
+                   .withColumnRenamed("s", "s2"), "right_id")
+             .filter(F.col("s") == F.col("s2"))
+             .groupBy("left_id", "right_id")
+             .agg(F.count("*").alias("inter")))
+    return (pairs
+            .join(inter, ["left_id", "right_id"], "left")
+            .fillna(0, ["inter"])
+            .join(sizes.withColumnRenamed("_id", "left_id")
+                  .withColumnRenamed("n_sh", "n_l"), "left_id")
+            .join(sizes.withColumnRenamed("_id", "right_id")
+                  .withColumnRenamed("n_sh", "n_r"), "right_id")
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("n_l") + F.col("n_r") - F.col("inter"))))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over distinct tokens: bit j of the signature is the sign
+    of Σ_tokens (±1) where the vote is bit j of md5(token).
+
+    Implemented as explode → 16 conditional sums → bit assembly; the
+    only shuffle is the groupBy(id), map-side combined.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"))
+    h = toks.withColumn("hx", F.md5(F.col("tok")))
+    # hex nibble value of char at position p (1-based)
+    def nib(p):
+        return F.expr(
+            f"instr('0123456789abcdef', substring(hx, {p}, 1)) - 1")
+    votes = h.withColumns({
+        f"v{j}": F.when(
+            ((F.floor(nib(j // 4 + 1) / (2 ** (j % 4)))) % 2) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+        for j in range(bits)
+    })
+    agg = votes.groupBy(id_col).agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(bits)])
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))

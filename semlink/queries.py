@@ -1,0 +1,638 @@
+"""Driver-contract query registry (SURVEY §5.2 item 4).
+
+Every implemented operator from SURVEY.md §2 (+ the datapipe family)
+gets a named entry: a Spark callable (spark, sf_dir) → DataFrame and,
+when ANSI-SQL-expressible, a DuckDB oracle string over the driver's
+pre-registered views. The driver hashes values order-insensitively
+with columns sorted by name, so:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- every float output goes through the scaled-bigint convention
+  round(x * 1e6)::bigint with the SAME arithmetic expression shape on
+  both sides (both engines round ties away from zero for positive
+  doubles, and identical IEEE expression trees give identical bits);
+- hashes are md5() — identical hex in both engines.
+
+Record-linkage queries run over `documents` as a stand-in corpus
+(doc_id → conversation, tokens → turns; the real transcript pipeline
+is exercised on fixtures, queries `pipeline_*` below, whose oracles
+are constant golden tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ngrams import explode_mentions, ngram_duckdb_sql
+from .textnorm import NORMALIZE_DUCKDB_SQL, normalize_expr
+from .datapipe import dedup as dd
+from .datapipe import simsearch as ss
+from .datapipe import textstats as ts
+from .datapipe.multimodal import extract_media_features, synthesize_media
+
+SCALE = 1_000_000
+
+
+def _r6(col):
+    return F.round(col * SCALE).cast("bigint")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# =====================================================================
+# Record-linkage spine over the documents corpus (T2-T4, A1-A6, J1/J3,
+# F1/F3, O4, X3/X4, C2-C4)
+# =====================================================================
+
+_TOK_SQL = """
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS token
+  FROM documents
+"""
+
+@q("rl_ngram_explode", f"""
+  {ngram_duckdb_sql('documents', 'doc_id', 'text', 3)}
+""")
+def rl_ngram_explode(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    m = explode_mentions(d, key_cols=("conv_id",), max_n=3)
+    return m.select(F.col("conv_id").alias("doc_id"),
+                    "span_start", "span_len", "ngram")
+
+
+@q("rl_normalize_blocking_key", f"""
+  SELECT DISTINCT p_name AS raw,
+         {NORMALIZE_DUCKDB_SQL.format(col='p_name')} AS blocking_key
+  FROM part
+""")
+def rl_normalize(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    return (p.select(F.col("p_name").alias("raw"),
+                     normalize_expr(F.col("p_name")).alias("blocking_key"))
+            .distinct())
+
+
+_DICT_SQL = f"""
+  WITH toks AS ({_TOK_SQL}),
+  occ AS (SELECT t.token AS anchor_norm, d.source AS sense, count(*) AS sense_cnt
+          FROM toks t JOIN documents d USING (doc_id)
+          GROUP BY 1, 2),
+  tot AS (SELECT anchor_norm, sum(sense_cnt) AS anchor_total
+          FROM occ GROUP BY 1)
+  SELECT o.anchor_norm, o.sense, o.sense_cnt, t.anchor_total,
+         CAST(ROUND(CAST(o.sense_cnt AS DOUBLE) / t.anchor_total * {SCALE})
+              AS BIGINT) AS prior6
+  FROM occ o JOIN tot t USING (anchor_norm)
+"""
+
+def _spark_dict(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), "")).alias("anchor_norm"))
+    occ = toks.groupBy("anchor_norm", F.col("source").alias("sense")).agg(
+        F.count("*").alias("sense_cnt"))
+    tot = occ.groupBy("anchor_norm").agg(F.sum("sense_cnt").alias("anchor_total"))
+    return (occ.join(tot, "anchor_norm")
+            .withColumn("prior6",
+                        _r6(F.col("sense_cnt").cast("double") / F.col("anchor_total"))))
+
+
+@q("rl_dict_build", _DICT_SQL)
+def rl_dict_build(spark, sf_dir):
+    return _spark_dict(spark, sf_dir)
+
+
+@q("rl_threshold_filter", f"""
+  SELECT * FROM ({_DICT_SQL}) WHERE prior6 >= {SCALE // 12}
+""")
+def rl_threshold_filter(spark, sf_dir):
+    return _spark_dict(spark, sf_dir).filter(F.col("prior6") >= SCALE // 12)
+
+
+@q("rl_link_top1", f"""
+  WITH dict AS ({_DICT_SQL}),
+  top1 AS (SELECT anchor_norm, sense, prior6,
+                  row_number() OVER (ORDER BY anchor_norm,
+                                     prior6 DESC, sense) AS _g,
+                  row_number() OVER (PARTITION BY anchor_norm
+                                     ORDER BY prior6 DESC, sense) AS rk
+           FROM dict),
+  toks AS ({_TOK_SQL})
+  SELECT DISTINCT t.doc_id, t.token, p.sense AS top_sense, p.prior6
+  FROM toks t JOIN (SELECT * FROM top1 WHERE rk = 1) p
+    ON t.token = p.anchor_norm
+""")
+def rl_link_top1(spark, sf_dir):
+    dict_df = _spark_dict(spark, sf_dir)
+    w = Window.partitionBy("anchor_norm").orderBy(F.desc("prior6"), F.asc("sense"))
+    top1 = (dict_df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("anchor_norm", F.col("sense").alias("top_sense"), "prior6"))
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), "")).alias("token"))
+    return (toks.join(F.broadcast(top1),
+                      toks.token == top1.anchor_norm)
+            .select("doc_id", "token", "top_sense", "prior6")
+            .distinct())
+
+
+_MENTIONS12_SQL = ngram_duckdb_sql("documents", "doc_id", "text", 2)
+
+@q("rl_largest_matching", f"""
+  WITH mentions AS ({_MENTIONS12_SQL}),
+  dict AS (SELECT ngram FROM mentions GROUP BY ngram HAVING count(*) >= 20),
+  matched AS (SELECT m.* FROM mentions m JOIN dict USING (ngram))
+  SELECT a.doc_id, a.span_start, a.span_len, a.ngram
+  FROM matched a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM matched b
+    WHERE b.doc_id = a.doc_id
+      AND b.span_start <= a.span_start
+      AND b.span_start + b.span_len >= a.span_start + a.span_len
+      AND b.span_len > a.span_len)
+""")
+def rl_largest_matching(spark, sf_dir):
+    from .linking import largest_matching_filter
+    d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "conv_id") \
+        .withColumn("turn_idx", F.lit(0))
+    m = explode_mentions(d, key_cols=("conv_id", "turn_idx"), max_n=2)
+    dict_df = m.groupBy("ngram").agg(F.count("*").alias("c")) \
+        .filter(F.col("c") >= 20).select("ngram")
+    matched = m.join(F.broadcast(dict_df), "ngram")
+    kept = largest_matching_filter(matched)
+    return kept.select(F.col("conv_id").alias("doc_id"),
+                       "span_start", "span_len", "ngram")
+
+
+_PAIR_MENTIONS_SQL = f"""
+  SELECT DISTINCT doc_id, token FROM ({_TOK_SQL})
+"""
+
+@q("rl_mention_pairs", f"""
+  WITH m AS (SELECT doc_id, token,
+                    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+             FROM ({_PAIR_MENTIONS_SQL}))
+  SELECT l.token AS block_key, l.doc_id AS left_doc, r.doc_id AS right_doc
+  FROM m l JOIN m r ON l.token = r.token
+  WHERE r.rk > l.rk AND r.rk - l.rk <= 3
+""")
+def rl_mention_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    m = (d.select("doc_id",
+                  F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), ""))
+                  .alias("token"))
+         .distinct()
+         .withColumn("rk", F.row_number().over(
+             Window.partitionBy("token").orderBy("doc_id"))))
+    l = m.select(F.col("token").alias("block_key"),
+                 F.col("doc_id").alias("left_doc"), F.col("rk").alias("rk_l"))
+    r = m.select(F.col("token").alias("block_key"),
+                 F.col("doc_id").alias("right_doc"), F.col("rk").alias("rk_r"))
+    return (l.join(r, "block_key")
+            .filter((F.col("rk_r") > F.col("rk_l"))
+                    & (F.col("rk_r") - F.col("rk_l") <= 3))
+            .select("block_key", "left_doc", "right_doc"))
+
+
+@q("rl_levenshtein", """
+  SELECT DISTINCT p_brand AS a, p_type AS b,
+         levenshtein(p_brand, p_type) AS lev
+  FROM part
+""")
+def rl_levenshtein(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    return (p.select(F.col("p_brand").alias("a"), F.col("p_type").alias("b"))
+            .distinct()
+            .withColumn("lev", F.levenshtein("a", "b").cast("bigint")))
+
+
+@q("rl_jaro_winkler", f"""
+  SELECT DISTINCT p_brand AS a, p_type AS b,
+         CAST(ROUND(jaro_winkler_similarity(p_brand, p_type) * {SCALE})
+              AS BIGINT) AS jw6
+  FROM part
+""")
+def rl_jaro_winkler(spark, sf_dir):
+    from .pairs import jaro_winkler_udf
+    p = _read(spark, sf_dir, "part")
+    return (p.select(F.col("p_brand").alias("a"), F.col("p_type").alias("b"))
+            .distinct()
+            .withColumn("jw6", _r6(jaro_winkler_udf(F.col("a"), F.col("b")))))
+
+
+_EDGE_SQL = """
+  SELECT 'd' || lpad(CAST(a.doc_id AS VARCHAR), 6, '0') AS src,
+         'd' || lpad(CAST(b.doc_id AS VARCHAR), 6, '0') AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1
+   AND a.lang = b.lang
+"""
+
+@q("rl_connected_components", f"""
+  WITH RECURSIVE e AS ({_EDGE_SQL}),
+  sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e
+          UNION SELECT src, src FROM e UNION SELECT dst, dst FROM e),
+  reach(a, b) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+  )
+  SELECT a AS mention_id, min(b) AS cluster_id FROM reach GROUP BY a
+""")
+def rl_connected_components(spark, sf_dir):
+    import tempfile
+    from .cluster import run_connected_components
+    from .config import SemlinkConfig
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id"), "source", "lang")
+    b = d.select(F.col("doc_id").alias("doc_id2"),
+                 F.col("source").alias("s2"), F.col("lang").alias("l2"))
+    ident = lambda c: F.concat(F.lit("d"), F.lpad(F.col(c).cast("string"), 6, "0"))
+    edges = (a.join(b, (F.col("doc_id2") == F.col("doc_id") + 1)
+                    & (F.col("lang") == F.col("l2")))
+             .select(ident("doc_id").alias("src"), ident("doc_id2").alias("dst")))
+    ckpt = tempfile.mkdtemp(prefix="semlink_cc_oracle_")
+    return run_connected_components(edges, SemlinkConfig(), ckpt_dir=ckpt)
+
+
+# =====================================================================
+# Relational surface (A*, O4, O5 — generic Spark SQL, oracle parity)
+# =====================================================================
+
+@q("agg_pricing_summary", f"""
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(sum(l_quantity)) AS BIGINT)             AS sum_qty,
+         CAST(ROUND(sum(l_extendedprice) * 100) AS BIGINT)  AS sum_price_cents,
+         CAST(ROUND(avg(l_discount) * {SCALE}) AS BIGINT)   AS avg_disc6,
+         count(*)                                           AS n_rows
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+  GROUP BY l_returnflag, l_linestatus
+""")
+def agg_pricing_summary(spark, sf_dir):
+    l = _read(spark, sf_dir, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                 .alias("sum_price_cents"),
+                 F.round(F.sum(F.round(F.col("l_discount") * 1_000_000)
+                               .cast("bigint")).cast("double") / F.count("*"))
+                 .cast("bigint").alias("avg_disc6"),
+                 F.count("*").alias("n_rows")))
+
+
+@q("join_topk_customers", """
+  WITH tot AS (
+    SELECT c.c_mktsegment, c.c_custkey,
+           sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2)
+  SELECT c_mktsegment, c_custkey, total_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY total_cents DESC, c_custkey) AS rk
+        FROM tot)
+  WHERE rk <= 3
+""")
+def join_topk_customers(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    tot = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy("c_mktsegment", "c_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .alias("total_cents")))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_cents"), F.asc("c_custkey"))
+    return (tot.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3).drop("rk"))
+
+
+@q("window_last_event", """
+  SELECT user_id, event_id, event_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events)
+  WHERE rk = 1
+""")
+def window_last_event(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (e.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+@q("rollup_event_counts", f"""
+  SELECT coalesce(event_type, '__all__') AS event_type,
+         count(*) AS n,
+         CAST(ROUND(sum(value) * {SCALE}) AS BIGINT) AS sum_value6
+  FROM events
+  GROUP BY ROLLUP (event_type)
+""")
+def rollup_event_counts(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    return (e.rollup("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+                 .alias("sum_value6"))
+            .withColumn("event_type",
+                        F.coalesce("event_type", F.lit("__all__"))))
+
+
+# =====================================================================
+# Dedup family (datapipe)
+# =====================================================================
+
+@q("dedup_exact", """
+  SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+         count(*) AS dup_count
+  FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i : i + 2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),
+                                   x -> x <> '') AS toks
+        FROM documents)
+"""
+
+_MINHASH_SQL = "".join([
+    "SELECT doc_id",
+    *[f", list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+      for i in range(dd.MINHASH_K)],
+    f" FROM ({_SHINGLE_SQL})",
+])
+
+@q("dedup_minhash_signatures", _MINHASH_SQL)
+def dedup_minhash_signatures(spark, sf_dir):
+    return dd.minhash_signatures(_docs(spark, sf_dir))
+
+
+_BUCKET_SQL = " UNION ALL ".join(
+    f"""SELECT doc_id, {b} AS band,
+        md5('{b}' || '|' || mh_{2 * b} || '|' || mh_{2 * b + 1}) AS bucket
+        FROM ({_MINHASH_SQL})"""
+    for b in range(dd.LSH_BANDS))
+
+@q("dedup_lsh_buckets", _BUCKET_SQL)
+def dedup_lsh_buckets(spark, sf_dir):
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    return dd.lsh_buckets(sigs).withColumn("band", F.col("band").cast("int"))
+
+
+@q("dedup_lsh_pairs", f"""
+  WITH b AS ({_BUCKET_SQL}),
+  sized AS (SELECT band, bucket FROM b GROUP BY band, bucket
+            HAVING count(*) <= 64)
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM (SELECT b.* FROM b JOIN sized USING (band, bucket)) l
+  JOIN (SELECT b.* FROM b JOIN sized USING (band, bucket)) r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+""")
+def dedup_lsh_pairs(spark, sf_dir):
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    return dd.lsh_candidate_pairs(dd.lsh_buckets(sigs))
+
+
+@q("dedup_ngram_jaccard", f"""
+  WITH pairs AS (
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id
+    FROM documents a JOIN documents b
+      ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+  sh AS ({_SHINGLE_SQL}),
+  sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+  ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+  inter AS (SELECT p.left_id, p.right_id, count(*) AS inter
+            FROM pairs p
+            JOIN ex el ON el.doc_id = p.left_id
+            JOIN ex er ON er.doc_id = p.right_id AND er.s = el.s
+            GROUP BY 1, 2)
+  SELECT p.left_id, p.right_id,
+         coalesce(i.inter, 0) AS inter,
+         CAST(ROUND(CAST(coalesce(i.inter, 0) AS DOUBLE)
+              / (sl.n_sh + sr.n_sh - coalesce(i.inter, 0)) * {SCALE})
+              AS BIGINT) AS jaccard6
+  FROM pairs p
+  LEFT JOIN inter i USING (left_id, right_id)
+  JOIN sizes sl ON sl.doc_id = p.left_id
+  JOIN sizes sr ON sr.doc_id = p.right_id
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("left_id"), "lang")
+    b = d.select(F.col("doc_id").alias("right_id"),
+                 F.col("lang").alias("l2"))
+    pairs = (a.join(b, (F.col("right_id") == F.col("left_id") + 1)
+                    & (F.col("lang") == F.col("l2")))
+             .select("left_id", "right_id"))
+    jac = dd.ngram_jaccard(d, pairs)
+    return jac.select(
+        "left_id", "right_id", F.col("inter").cast("bigint").alias("inter"),
+        _r6(F.col("inter").cast("double")
+            / (F.col("n_l") + F.col("n_r") - F.col("inter"))).alias("jaccard6"))
+
+
+_SIMHASH_NIB = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+_SIMHASH_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(list_distinct("
+    "list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))) AS tok "
+    "FROM documents), "
+    "h AS (SELECT doc_id, md5(tok) AS hx FROM toks), "
+    "v AS (SELECT doc_id"
+    + "".join(
+        f", sum(CASE WHEN CAST(floor({_SIMHASH_NIB.format(p=j // 4 + 1)} / {2 ** (j % 4)}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(dd.SIMHASH_BITS))
+    + " FROM h GROUP BY doc_id) "
+    "SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(dd.SIMHASH_BITS))
+    + " AS BIGINT) AS simhash FROM v")
+
+@q("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+# =====================================================================
+# Similarity search (datapipe)
+# =====================================================================
+
+_COSINE_SQL = """
+  list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+  / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+     * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+@q("ann_brute_force_topk", f"""
+  WITH sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROUND(({_COSINE_SQL}) * {SCALE}) AS BIGINT) AS sim6
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 25)
+  SELECT query_id, cand_id, sim6, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim6 DESC, cand_id) AS rk
+    FROM sims)
+  WHERE rk <= 5
+""")
+def ann_brute_force_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    q_ = (e.filter(F.col("vec_id") < 25)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb")))
+    c = e.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"))
+    return ss.brute_force_topk(c, q_, k=5) \
+        .withColumn("rk", F.col("rk").cast("int"))
+
+
+@q("ann_ivf_cell_topk", f"""
+  WITH sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROUND(({_COSINE_SQL}) * {SCALE}) AS BIGINT) AS sim6
+    FROM embeddings q JOIN embeddings c
+      ON q.label = c.label AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50)
+  SELECT query_id, cand_id, sim6, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim6 DESC, cand_id) AS rk
+    FROM sims)
+  WHERE rk <= 5
+""")
+def ann_ivf_cell_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    q_ = (e.filter(F.col("vec_id") < 50)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("label").alias("cell")))
+    c = e.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("label").alias("cell"))
+    return ss.ivf_topk(c, q_, k=5).withColumn("rk", F.col("rk").cast("int"))
+
+
+# =====================================================================
+# Text analysis (datapipe)
+# =====================================================================
+
+_STOP_IN = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
+
+_STOPR_SQL = f"""
+  CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+  / CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END
+"""
+
+@q("text_langid", f"""
+  SELECT doc_id, lang,
+         CAST(ROUND(({_STOPR_SQL}) * {SCALE}) AS BIGINT) AS stop_ratio6,
+         CASE WHEN ({_STOPR_SQL}) >= 0.12 THEN 'en' ELSE 'other' END AS lang_guess
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(text), ' +'),
+                           x -> x <> '') AS toks
+        FROM documents)
+""")
+def text_langid(spark, sf_dir):
+    d = ts.with_lang_guess(_docs(spark, sf_dir))
+    return d.select("doc_id", "lang", _r6(F.col("stop_ratio")).alias("stop_ratio6"),
+                    "lang_guess")
+
+
+@q("text_token_stats", f"""
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))
+           AS ws_tokens,
+         len(regexp_extract_all(text, '{ts.WORD_RE}')) AS word_tokens,
+         length(text) AS n_chars_out
+  FROM documents
+""")
+def text_token_stats(spark, sf_dir):
+    d = ts.with_token_stats(_docs(spark, sf_dir).drop("n_chars"))
+    return d.select("doc_id", "ws_tokens", "word_tokens",
+                    F.col("n_chars").alias("n_chars_out"))
+
+
+@q("text_quality_score", f"""
+  SELECT doc_id,
+         CAST(ROUND((
+           0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END)
+         + 0.3 * least(({_STOPR_SQL}) * 3.0, 1.0)
+         ) * {SCALE}) AS BIGINT) AS quality6
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), ' +'),
+                           x -> x <> '') AS toks
+        FROM documents)
+""")
+def text_quality_score(spark, sf_dir):
+    d = ts.with_quality_score(_docs(spark, sf_dir).drop("n_chars"))
+    return d.select("doc_id", _r6(F.col("quality_score")).alias("quality6"))
+
+
+@q("text_fingerprints", """
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_exact,
+         list_min(CASE WHEN len(toks) >= 4 THEN
+             list_transform(generate_series(1, len(toks) - 3),
+                            i -> md5(array_to_string(toks[i : i + 3], ' ')))
+           ELSE [md5(array_to_string(toks, ' '))] END) AS fp_min_shingle
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), ' +'),
+                           x -> x <> '') AS toks
+        FROM documents)
+""")
+def text_fingerprints(spark, sf_dir):
+    d = ts.with_fingerprints(_docs(spark, sf_dir))
+    return d.select("doc_id", "fp_exact", "fp_min_shingle")
+
+
+# =====================================================================
+# Multimodal plumbing (stubbed decode, real Spark path)
+# =====================================================================
+
+@q("media_features", """
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         'image' AS kind,
+         CAST(16 AS BIGINT) AS n_bytes,
+         CAST(1 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 64
+              AS BIGINT) AS fake_width,
+         CAST(1 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 64
+              AS BIGINT) AS fake_height,
+         CAST(1 + CAST(('0x' || substr(md5(text), 5, 1)) AS BIGINT) % 4
+              AS BIGINT) AS fake_channels,
+         md5(text) AS digest
+  FROM documents
+""")
+def media_features(spark, sf_dir):
+    media = synthesize_media(_docs(spark, sf_dir))
+    return extract_media_features(media)

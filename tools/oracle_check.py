@@ -1,0 +1,104 @@
+"""Local emulation of the driver's DuckDB oracle gate: run every
+queries() entry and its oracle_sql() side by side, compare row count,
+sorted column names, and an order-insensitive value multiset.
+
+Usage: python tools/oracle_check.py [sf_dir] [name_filter ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def normalize_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_val(r[i]) for i in order))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def _norm_val(v):
+    import datetime
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, list):
+        return tuple(v)
+    return v
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:]
+
+    import __spark_entry__ as entrymod
+    from semlink.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if names and not any(n in name for n in names):
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, "
+                  f"{time.time() - t0:.1f}s) — no oracle")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        sc, sr = normalize_rows(spark_cols, spark_rows)
+        dc, dr = normalize_rows(duck_cols, duck_rows)
+        status = []
+        if sc != dc:
+            status.append(f"cols {sc} != {dc}")
+        if len(sr) != len(dr):
+            status.append(f"rowcount {len(sr)} != {len(dr)}")
+        elif sr != dr:
+            n_bad = sum(1 for a, b in zip(sr, dr) if a != b)
+            ex = next((a, b) for a, b in zip(sr, dr) if a != b)
+            status.append(f"values differ ({n_bad} rows) e.g. {ex[0]} != {ex[1]}")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(status)}")
+        else:
+            print(f"PASS {name} ({len(sr)} rows, {time.time() - t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
