@@ -1,0 +1,138 @@
+"""Benchmark harness (SURVEY M6; driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full
+transcript record-linkage pipeline (blocking → pairwise scoring →
+checkpointed CC) on a replicated bench-scale fixture, and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "pipeline_turns": N, "pipeline_turns_per_sec": X}
+
+The bench fixture is the deterministic `small` fixture replicated
+REPLICAS× in Spark (conv_id remapped per replica) — block keys are
+shared across replicas, so blocks grow linearly with scale exactly as
+hot surface forms do in real corpora. Generation is cached to
+/tmp/semlink_bench and excluded from timing.
+
+Scaling evidence (north rule N vs 4N executors, sandbox proxy):
+  SPARK_GRAFT_CPUS=8 python bench.py   vs   SPARK_GRAFT_CPUS=32 ...
+tools/scaling_bench.py orchestrates both and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPLICAS = int(os.environ.get("SEMLINK_BENCH_REPLICAS", "30"))
+BENCH_DIR = os.environ.get("SEMLINK_BENCH_DIR", "/tmp/semlink_bench")
+
+# registry queries timed at the SF dir (one per operator family)
+HEADLINE = [
+    "rl_ngram_explode", "rl_link_top1", "rl_mention_pairs",
+    "rl_largest_matching", "rl_connected_components",
+    "dedup_minhash_signatures", "dedup_lsh_pairs", "dedup_simhash",
+    "ann_brute_force_topk", "text_quality_score", "text_fingerprints",
+    "agg_pricing_summary",
+]
+
+
+def ensure_bench_fixture(spark) -> str:
+    """Replicate the small fixture to bench scale (cached, untimed)."""
+    out = os.path.join(BENCH_DIR, f"small_x{REPLICAS}")
+    marker = os.path.join(out, "transcripts.parquet", "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    from semlink.fixtures import generate, to_spark
+    fx = generate("small")
+    dfs = to_spark(spark, fx)
+    reps = spark.range(REPLICAS).select(
+        F.col("id").cast("int").alias("rep"))
+    t = (dfs["transcripts"].crossJoin(reps)
+         .withColumn("conv_id", F.concat_ws("-", "conv_id",
+                                            F.col("rep").cast("string")))
+         .drop("rep"))
+    t.repartition(32).write.mode("overwrite") \
+        .parquet(os.path.join(out, "transcripts.parquet"))
+    lp = (dfs["labeled_pairs"].crossJoin(reps)
+          .select(
+              F.concat_ws("-", F.split("left_mention_id", ":").getItem(0),
+                          F.col("rep").cast("string")).alias("c1"),
+              F.expr("substring(left_mention_id, length(split(left_mention_id, ':')[0]) + 1)").alias("r1"),
+              F.concat_ws("-", F.split("right_mention_id", ":").getItem(0),
+                          F.col("rep").cast("string")).alias("c2"),
+              F.expr("substring(right_mention_id, length(split(right_mention_id, ':')[0]) + 1)").alias("r2"),
+              "block_key", "label")
+          .select(F.concat("c1", "r1").alias("left_mention_id"),
+                  F.concat("c2", "r2").alias("right_mention_id"),
+                  "block_key", "label"))
+    lp.write.mode("overwrite").parquet(os.path.join(out, "labeled_pairs.parquet"))
+    for name in ("anchors", "page_links"):
+        dfs[name].write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet"))
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from semlink.session import get_spark
+    spark = get_spark("semlink-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from semlink.queries import REGISTRY
+
+    bench_fx = ensure_bench_fixture(spark)
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    # headline: the full record-linkage pipeline at bench scale
+    from semlink.config import SemlinkConfig
+    from semlink.pipeline import run_pipeline
+    t = spark.read.parquet(os.path.join(bench_fx, "transcripts.parquet"))
+    anchors = spark.read.parquet(os.path.join(bench_fx, "anchors.parquet"))
+    pl = spark.read.parquet(os.path.join(bench_fx, "page_links.parquet"))
+    n_turns = t.count()
+
+    ckpt = os.path.join(BENCH_DIR, f"ckpt_{cpus}")
+    cfg = SemlinkConfig(checkpoint_dir=ckpt, shuffle_partitions=cpus)
+    t0 = time.time()
+    res = run_pipeline(t, anchors, pl, cfg, ckpt_dir=ckpt)
+    n_clusters = res["assignments"].select("cluster_id").distinct().count()
+    dt = time.time() - t0
+    times["pipeline_e2e"] = round(dt, 3)
+    total += dt
+
+    out = {
+        "metric": "semlink headline queries + e2e record-linkage pipeline",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
+        "cpus": cpus,
+        "pipeline_turns": n_turns,
+        "pipeline_clusters": n_clusters,
+        "pipeline_turns_per_sec": round(n_turns / dt, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

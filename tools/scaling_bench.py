@@ -1,0 +1,76 @@
+"""North-rule scaling evidence (sandbox proxy for N vs 4N executors):
+run bench.py at local[8] and local[32] on the SAME cached input, report
+throughput at both plus scaling efficiency, write BENCH/BASELINE.md.
+
+efficiency = (T_8 / T_32) / 4   on the e2e pipeline stage
+           = throughput_32 / (4 * throughput_8)
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       env=env, capture_output=True, text=True, timeout=3600)
+    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    # warm the fixture cache once (untimed within bench anyway)
+    r32 = run(32)
+    r8 = run(8)
+
+    t8 = r8["queries"]["pipeline_e2e"]
+    t32 = r32["queries"]["pipeline_e2e"]
+    eff = (t8 / t32) / 4.0
+    tot_eff = (r8["value"] / r32["value"]) / 4.0
+
+    md = f"""# BENCH — scaling evidence (north rule: N vs 4N executors)
+
+Sandbox proxy per driver instruction: same job, same cached input
+({r32['pipeline_turns']:,} transcript turns, bench fixture
+small×{os.environ.get('SEMLINK_BENCH_REPLICAS', '30')}), `local[8]` vs
+`local[32]` on a 32-core/125 GB host. Spark confs: AQE on (coalesce +
+skew join), shuffle.partitions = cores, Arrow batch 64k.
+
+| run | cores | e2e pipeline (s) | turns/sec | headline total (s) |
+| --- | --- | --- | --- | --- |
+| N   | 8  | {t8:.1f} | {r8['pipeline_turns_per_sec']:,} | {r8['value']:.1f} |
+| 4N  | 32 | {t32:.1f} | {r32['pipeline_turns_per_sec']:,} | {r32['value']:.1f} |
+
+**Pipeline scaling efficiency (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8).
+All-queries efficiency: {tot_eff:.3f} (includes small fixed-cost
+queries that don't scale — reported for transparency).
+
+Per-query seconds at each width:
+
+| query | 8 cores | 32 cores |
+| --- | --- | --- |
+""" + "\n".join(
+        f"| {k} | {r8['queries'][k]} | {r32['queries'][k]} |"
+        for k in r32["queries"]) + f"""
+
+Raw JSON:
+
+- local[8]: `{json.dumps(r8)}`
+- local[32]: `{json.dumps(r32)}`
+"""
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write(md)
+    print(json.dumps({"eff_pipeline": round(eff, 3),
+                      "t8": t8, "t32": t32,
+                      "turns_per_sec_32": r32["pipeline_turns_per_sec"]}))
+
+
+if __name__ == "__main__":
+    main()
