@@ -67,39 +67,60 @@ def pair_score_udf(ngram_l: pd.Series, ngram_r: pd.Series,
 
 
 def mention_pairs(resolved: DataFrame, cfg: SemlinkConfig = DEFAULT,
-                  pair_window: int = 8) -> DataFrame:
-    """J3: banded pairs within each block (ngram_norm), deterministic.
+                  pair_window: int = 8,
+                  include_block_negatives: bool = True) -> DataFrame:
+    """J3: banded pairs, deterministic.
 
-    Output: one row per (left, right) pair with both sides' features.
-    The shuffle key is the block key; the window sort gives every
-    mention a stable rank, and the band join keeps only
+    Connectivity pairs are banded within the COMPOSITE blocking key
+    (ngram_norm, resolved target): a same-sense clique of size B is
+    thinned to a B-node chain band that CC closes transitively. Banding
+    on ngram_norm alone is WRONG — in a mixed-sense block, same-sense
+    neighbors can sit arbitrarily far apart in mention order and the
+    chain breaks (caught by the small-scale F1 gate at band=8).
+
+    ``include_block_negatives`` adds a thin band of cross-sense pairs
+    per raw block so the scorer is exercised on hard negatives (they
+    score below threshold and never become edges).
+
+    The shuffle key is the composite block; the window sort gives every
+    mention a stable rank, and the band predicate keeps only
     0 < rank_r - rank_l ≤ pair_window.
     """
-    w = Window.partitionBy("ngram_norm").orderBy("mention_id")
+    w = Window.partitionBy("ngram_norm", "target_id").orderBy("mention_id")
     base = resolved.select(
         "mention_id", "ngram_norm", "ngram", "conv_id",
         "target_id", "prior_prob", "sense_prob",
     ).withColumn("rk", F.row_number().over(w))
+    if include_block_negatives:
+        wb = Window.partitionBy("ngram_norm").orderBy("mention_id")
+        base_b = base.withColumn("rkb", F.row_number().over(wb))
 
-    l = base.select(
-        F.col("ngram_norm"),
-        F.col("mention_id").alias("left_mention_id"),
-        F.col("ngram").alias("ngram_l"),
-        F.col("target_id").alias("target_l"),
-        F.col("prior_prob").alias("prior_l"),
-        F.col("sense_prob").alias("sense_prob_l"),
-        F.col("rk").alias("rk_l"))
-    r = base.select(
-        F.col("ngram_norm"),
-        F.col("mention_id").alias("right_mention_id"),
-        F.col("ngram").alias("ngram_r"),
-        F.col("target_id").alias("target_r"),
-        F.col("prior_prob").alias("prior_r"),
-        F.col("sense_prob").alias("sense_prob_r"),
-        F.col("rk").alias("rk_r"))
-    return l.join(r, "ngram_norm").filter(
+    def side(df, prefix, rank_col, join_keys):
+        return df.select(
+            *join_keys,
+            F.col("mention_id").alias(f"{prefix}_mention_id"),
+            F.col("ngram").alias(f"ngram_{prefix[0]}"),
+            F.col("target_id").alias(f"target_{prefix[0]}"),
+            F.col("prior_prob").alias(f"prior_{prefix[0]}"),
+            F.col("sense_prob").alias(f"sense_prob_{prefix[0]}"),
+            F.col(rank_col).alias(f"rk_{prefix[0]}"))
+
+    keys = ["ngram_norm", "target_id"]
+    l = side(base, "left", "rk", keys).withColumnRenamed("target_id", "tk")
+    r = side(base, "right", "rk", keys).withColumnRenamed("target_id", "tk")
+    pairs = l.join(r, ["ngram_norm", "tk"]).drop("tk").filter(
         (F.col("rk_r") > F.col("rk_l"))
         & (F.col("rk_r") - F.col("rk_l") <= pair_window))
+
+    if include_block_negatives:
+        lb = side(base_b.drop("rk"), "left", "rkb", ["ngram_norm"])
+        rb = side(base_b.drop("rk"), "right", "rkb", ["ngram_norm"])
+        neg = (lb.join(rb, "ngram_norm")
+               .filter((F.col("rk_r") > F.col("rk_l"))
+                       & (F.col("rk_r") - F.col("rk_l") <= 2)
+                       & (F.col("target_l") != F.col("target_r"))))
+        pairs = pairs.unionByName(neg)
+    return pairs.dropDuplicates(["left_mention_id", "right_mention_id"])
 
 
 def score_pairs(pairs: DataFrame, cfg: SemlinkConfig = DEFAULT) -> DataFrame:
