@@ -130,6 +130,8 @@ def main() -> None:
         "pipeline_turns": n_turns,
         "pipeline_clusters": n_clusters,
         "pipeline_turns_per_sec": round(n_turns / dt, 1),
+        "pipeline_stages": {s: round(t, 2)
+                            for _r, s, t in res["metrics"]._stage_rows},
     }
     print(json.dumps(out))
 

@@ -65,14 +65,6 @@ def small_star(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    # bit_xor: order-insensitive, overflow-free under ANSI mode
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h")).first()
-    return row.n, row.h
-
-
 def run_connected_components(
     edges: DataFrame,
     cfg: SemlinkConfig = DEFAULT,
@@ -101,11 +93,21 @@ def run_connected_components(
     elif os.path.isdir(ckpt) and io.fmt == "parquet":
         shutil.rmtree(ckpt, ignore_errors=True)
 
+    from pyspark.sql import Observation
+
     prev_fp = None
     for i in range(start, cfg.max_cc_iterations):
-        cur = small_star(large_star(cur))
-        cur = io.checkpoint(cur, f"edges_step_{i}")   # atomic commit + lineage cut
-        fp = _edge_fingerprint(cur)
+        stepped = small_star(large_star(cur))
+        # convergence fingerprint rides on the checkpoint write itself
+        # (observe): ONE action per superstep instead of write + agg
+        obs = Observation(f"cc_step_{i}")
+        stepped = stepped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"))
+        io.write(stepped, f"edges_step_{i}")          # atomic commit
+        cur = io.read(spark, f"edges_step_{i}")       # hard lineage cut
+        fp = (obs.get["n"], obs.get["h"])
         if fp == prev_fp:
             break
         prev_fp = fp

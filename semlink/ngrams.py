@@ -20,21 +20,37 @@ from pyspark.sql import functions as F
 from .textnorm import normalize_expr, tokenize_expr
 
 
-def ngram_struct_expr(tokens_col: str, max_n: int) -> Column:
-    """Array<struct(span_start, span_len, ngram)> of all 1..max_n grams.
+def ngram_struct_expr(tokens_col: str, max_n: int,
+                      norm_tokens_col: str | None = None) -> Column:
+    """Array<struct(span_start, span_len, ngram[, ngram_norm])> of all
+    1..max_n grams. Guarded for empty token arrays (sequence(0,-1)
+    would descend).
 
-    Guarded for empty token arrays (sequence(0,-1) would descend).
+    When ``norm_tokens_col`` is given, the blocking key ngram_norm is
+    assembled by joining PRE-NORMALIZED tokens — the expensive
+    normalization regexes run once per token instead of once (or, with
+    Catalyst's filter duplication, twice) per n-gram: ~6× less regex
+    work at max_n=3. Safe because normalize is homomorphic over
+    space-joined concatenation (empty normalized tokens are dropped
+    before joining, matching the whole-string collapse) — pinned by
+    tests/test_ngrams.py::test_tokenwise_norm_equivalence.
     """
+    fields = "i AS span_start, n AS span_len, " \
+             f"array_join(slice({tokens_col}, i + 1, n), ' ') AS ngram"
+    typ = "array<struct<span_start:int,span_len:int,ngram:string>>"
+    if norm_tokens_col:
+        fields += (f", array_join(filter(slice({norm_tokens_col}, i + 1, n),"
+                   f" x -> x != ''), ' ') AS ngram_norm")
+        typ = ("array<struct<span_start:int,span_len:int,ngram:string,"
+               "ngram_norm:string>>")
     return F.expr(
         f"""
         CASE WHEN size({tokens_col}) = 0 THEN
-          CAST(array() AS array<struct<span_start:int,span_len:int,ngram:string>>)
+          CAST(array() AS {typ})
         ELSE
           flatten(transform(sequence(0, size({tokens_col}) - 1), i ->
             transform(sequence(1, least({max_n}, size({tokens_col}) - i)), n ->
-              struct(i AS span_start,
-                     n AS span_len,
-                     array_join(slice({tokens_col}, i + 1, n), ' ') AS ngram))))
+              struct({fields}))))
         END
         """
     )
@@ -53,19 +69,23 @@ def explode_mentions(
     no monotonically_increasing_id (which is partition-layout dependent
     and would break resume determinism).
     """
-    toks = df.select(*key_cols, tokenize_expr(F.col(text_col)).alias("_toks"))
+    toks = df.select(
+        *key_cols,
+        tokenize_expr(F.col(text_col)).alias("_toks"),
+    ).withColumn("_ntoks", F.transform(F.col("_toks"),
+                                       lambda t: normalize_expr(t)))
     m = (
         toks.select(
             *key_cols,
-            F.explode(ngram_struct_expr("_toks", max_n)).alias("g"),
+            F.explode(ngram_struct_expr("_toks", max_n, "_ntoks")).alias("g"),
         )
         .select(
             *key_cols,
             F.col("g.span_start").alias("span_start"),
             F.col("g.span_len").alias("span_len"),
             F.col("g.ngram").alias("ngram"),
+            F.col("g.ngram_norm").alias("ngram_norm"),
         )
-        .withColumn("ngram_norm", normalize_expr(F.col("ngram")))
         .filter(F.col("ngram_norm") != "")
     )
     id_parts = [F.col(c).cast("string") for c in key_cols] + [
