@@ -161,6 +161,17 @@ def unique_filter(cands: DataFrame) -> DataFrame:
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def attach_page_features(cands: DataFrame, pages: DataFrame) -> DataFrame:
+    """J4 + X5: broadcast-join the page dimension to carry article
+    features (degree stats, redirect flag) onto candidates."""
+    p = pages.select(
+        "target_id",
+        F.col("inlink_count").alias("f_inlinks"),
+        F.col("outlink_count").alias("f_outlinks"),
+        F.col("is_redirect").alias("f_is_redirect"))
+    return cands.join(F.broadcast(p), "target_id", "left")
+
+
 # ------------------------------------------------------------ context resolution
 
 def relatedness_table(page_links: DataFrame, entities: DataFrame) -> DataFrame:
@@ -241,7 +252,11 @@ def link_transcripts(transcripts: DataFrame, anchors: DataFrame,
     (mention_id, conv_id, turn_idx, span_*, ngram, ngram_norm,
     target_id, target_title, probabilities, score)."""
     mentions = generate_mentions(transcripts, cfg)
-    cands = candidate_join(mentions, anchors, cfg)
+    # persist the (small) post-blocking candidate set: the explode above
+    # multiplies the corpus ~100× and F3 + sense resolution reference
+    # the candidates in 4 subplans — without the persist, Spark
+    # re-executes the full explode for each (measured 5× link-stage cost)
+    cands = candidate_join(mentions, anchors, cfg).persist()
     if cfg.largest_matching_only:
         cands = largest_matching_filter(cands)
     cands = threshold_filter(cands, cfg)

@@ -108,9 +108,14 @@ def mention_pairs(resolved: DataFrame, cfg: SemlinkConfig = DEFAULT,
     keys = ["ngram_norm", "target_id"]
     l = side(base, "left", "rk", keys).withColumnRenamed("target_id", "tk")
     r = side(base, "right", "rk", keys).withColumnRenamed("target_id", "tk")
+    # band pairs + hub pairs (everyone ⋈ the rank-1 mention of the
+    # composite block): the hub keeps component diameter at 2, so CC
+    # converges in O(1) rounds instead of O(log(B/window)) — a 15k-
+    # mention hot block as a pure band-chain needed ~11 supersteps
     pairs = l.join(r, ["ngram_norm", "tk"]).drop("tk").filter(
         (F.col("rk_r") > F.col("rk_l"))
-        & (F.col("rk_r") - F.col("rk_l") <= pair_window))
+        & ((F.col("rk_r") - F.col("rk_l") <= pair_window)
+           | (F.col("rk_l") == 1)))
 
     if include_block_negatives:
         lb = side(base_b.drop("rk"), "left", "rkb", ["ngram_norm"])
@@ -120,7 +125,10 @@ def mention_pairs(resolved: DataFrame, cfg: SemlinkConfig = DEFAULT,
                        & (F.col("rk_r") - F.col("rk_l") <= 2)
                        & (F.col("target_l") != F.col("target_r"))))
         pairs = pairs.unionByName(neg)
-    return pairs.dropDuplicates(["left_mention_id", "right_mention_id"])
+    # no dedup shuffle needed: the rank predicate emits each unordered
+    # pair at most once, and the negative band (target_l != target_r)
+    # is disjoint from the same-target band/hub pairs by construction
+    return pairs
 
 
 def score_pairs(pairs: DataFrame, cfg: SemlinkConfig = DEFAULT) -> DataFrame:
@@ -138,8 +146,9 @@ def edges_from_scores(scored: DataFrame,
                       cfg: SemlinkConfig = DEFAULT) -> DataFrame:
     """C1: thresholded, canonical-ordered, deduped undirected edges."""
     e = scored.filter(F.col("pair_score") >= cfg.match_threshold)
+    # mention_pairs emits unique unordered pairs, so no distinct here;
+    # CC's per-round distinct() canonicalizes anyway
     return (e.select(
         F.least("left_mention_id", "right_mention_id").alias("src"),
         F.greatest("left_mention_id", "right_mention_id").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct())
+        .filter(F.col("src") != F.col("dst")))

@@ -39,6 +39,13 @@ def run_pipeline(
     """transcripts → {resolved, edges, assignments, f1?} DataFrames."""
     mc = metrics or MetricsCollector(transcripts.sparkSession)
 
+    # The n-gram explode multiplies the input ~100×: parallelism must be
+    # set BEFORE the explode, not inherited from the input file splits
+    # (a few compact parquet files would otherwise serialize the whole
+    # link stage onto 1-2 tasks — measured 1.2× instead of 4× scaling).
+    if transcripts.rdd.getNumPartitions() < cfg.shuffle_partitions:
+        transcripts = transcripts.repartition(cfg.shuffle_partitions)
+
     with mc.stage("link"):
         resolved = link_transcripts(transcripts, anchors, page_links, cfg)
         resolved = resolved.persist()
