@@ -105,29 +105,39 @@ def mention_pairs(resolved: DataFrame, cfg: SemlinkConfig = DEFAULT,
             F.col("sense_prob").alias(f"sense_prob_{prefix[0]}"),
             F.col(rank_col).alias(f"rk_{prefix[0]}"))
 
+    # ALL pair joins below are pure equi joins — a band predicate as a
+    # post-join filter would make Spark materialize the full B×B cross
+    # product per block (measured: 3.6e9 intermediate rows for a 60k-
+    # mention hot block). Instead the left side explodes its band
+    # offsets (rank+1..rank+window) and joins on the exact right rank.
     keys = ["ngram_norm", "target_id"]
     l = side(base, "left", "rk", keys).withColumnRenamed("target_id", "tk")
     r = side(base, "right", "rk", keys).withColumnRenamed("target_id", "tk")
-    # band pairs + hub pairs (everyone ⋈ the rank-1 mention of the
-    # composite block): the hub keeps component diameter at 2, so CC
-    # converges in O(1) rounds instead of O(log(B/window)) — a 15k-
-    # mention hot block as a pure band-chain needed ~11 supersteps
-    pairs = l.join(r, ["ngram_norm", "tk"]).drop("tk").filter(
-        (F.col("rk_r") > F.col("rk_l"))
-        & ((F.col("rk_r") - F.col("rk_l") <= pair_window)
-           | (F.col("rk_l") == 1)))
+
+    l_band = l.withColumn(
+        "rk_r", F.explode(F.expr(
+            f"sequence(rk_l + 1, rk_l + {int(pair_window)})")))
+    band = l_band.join(r, ["ngram_norm", "tk", "rk_r"]).drop("tk")
+
+    # hub pairs: everyone ⋈ the rank-1 mention of the composite block —
+    # keeps component diameter at 2 so CC converges in O(1) rounds
+    # (a 15k-mention block as a pure band-chain needed ~11 supersteps);
+    # rk_r > window+1 avoids re-emitting band pairs. 1×B per block.
+    hub = (l.filter(F.col("rk_l") == 1)
+           .join(r, ["ngram_norm", "tk"]).drop("tk")
+           .filter(F.col("rk_r") > pair_window + 1))
+    pairs = band.unionByName(hub)
 
     if include_block_negatives:
         lb = side(base_b.drop("rk"), "left", "rkb", ["ngram_norm"])
         rb = side(base_b.drop("rk"), "right", "rkb", ["ngram_norm"])
-        neg = (lb.join(rb, "ngram_norm")
-               .filter((F.col("rk_r") > F.col("rk_l"))
-                       & (F.col("rk_r") - F.col("rk_l") <= 2)
-                       & (F.col("target_l") != F.col("target_r"))))
+        lb2 = lb.withColumn(
+            "rk_r", F.explode(F.expr("sequence(rk_l + 1, rk_l + 2)")))
+        neg = (lb2.join(rb, ["ngram_norm", "rk_r"])
+               .filter(F.col("target_l") != F.col("target_r")))
         pairs = pairs.unionByName(neg)
-    # no dedup shuffle needed: the rank predicate emits each unordered
-    # pair at most once, and the negative band (target_l != target_r)
-    # is disjoint from the same-target band/hub pairs by construction
+    # no dedup shuffle needed: band/hub/negative sets are disjoint by
+    # construction and each emits an unordered pair at most once
     return pairs
 
 
