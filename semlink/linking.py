@@ -41,15 +41,36 @@ from .textnorm import clean_expr
 # ------------------------------------------------------------ mentions
 
 def generate_mentions(transcripts: DataFrame,
-                      cfg: SemlinkConfig = DEFAULT) -> DataFrame:
-    """T1-T4 + T3: transcript turns → candidate mentions."""
+                      cfg: SemlinkConfig = DEFAULT,
+                      first_words: list[str] | None = None) -> DataFrame:
+    """T1-T4 + T3: transcript turns → candidate mentions.
+
+    ``first_words`` (from :func:`anchor_first_words`) enables the
+    generator-side gate: spans whose first normalized token cannot
+    start any anchor are never materialized.
+    """
     t = transcripts.select(
         "conv_id", "turn_idx",
         clean_expr(F.col("text")).alias("text"),
     )
     return explode_mentions(t, text_col="text",
                             key_cols=("conv_id", "turn_idx"),
-                            max_n=cfg.max_ngram_len)
+                            max_n=cfg.max_ngram_len,
+                            first_words=first_words)
+
+
+def anchor_first_words(anchors: DataFrame,
+                       max_set_size: int = 50_000) -> list[str] | None:
+    """Distinct first tokens of all anchor keys, for the explode gate.
+    Returns None (no gate) when the set is too large for a literal
+    InSet — at that scale use the plain join or a Bloom-filter gate."""
+    n = anchors.select("anchor_norm").distinct().count()
+    if n > max_set_size:
+        return None
+    rows = (anchors
+            .select(F.split("anchor_norm", " ").getItem(0).alias("w"))
+            .distinct().collect())
+    return [r.w for r in rows if r.w]
 
 
 # ------------------------------------------------------------ dictionary probs
@@ -251,7 +272,8 @@ def link_transcripts(transcripts: DataFrame, anchors: DataFrame,
     """End-to-end linking: transcripts → resolved mentions
     (mention_id, conv_id, turn_idx, span_*, ngram, ngram_norm,
     target_id, target_title, probabilities, score)."""
-    mentions = generate_mentions(transcripts, cfg)
+    mentions = generate_mentions(transcripts, cfg,
+                                 first_words=anchor_first_words(anchors))
     # persist the (small) post-blocking candidate set: the explode above
     # multiplies the corpus ~100× and F3 + sense resolution reference
     # the candidates in 4 subplans — without the persist, Spark

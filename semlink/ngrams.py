@@ -21,7 +21,8 @@ from .textnorm import normalize_expr, tokenize_expr
 
 
 def ngram_struct_expr(tokens_col: str, max_n: int,
-                      norm_tokens_col: str | None = None) -> Column:
+                      norm_tokens_col: str | None = None,
+                      first_words: list[str] | None = None) -> Column:
     """Array<struct(span_start, span_len, ngram[, ngram_norm])> of all
     1..max_n grams. Guarded for empty token arrays (sequence(0,-1)
     would descend).
@@ -43,12 +44,36 @@ def ngram_struct_expr(tokens_col: str, max_n: int,
                    f" x -> x != ''), ' ') AS ngram_norm")
         typ = ("array<struct<span_start:int,span_len:int,ngram:string,"
                "ngram_norm:string>>")
+
+    positions = f"sequence(0, size({tokens_col}) - 1)"
+    if first_words is not None:
+        # first-word gate: a span can only match the dictionary if its
+        # first normalized token starts some anchor key, so skip string
+        # assembly for every other position. Catalyst compiles the IN
+        # over >10 literals to an O(1) InSet hash probe — pure compute,
+        # zero allocation. This is the difference between materializing
+        # ~100× the corpus in n-gram strings (allocation/GC-bound, does
+        # NOT scale with cores) and materializing only plausible
+        # candidates. At dictionaries too large for a literal set, swap
+        # the gate for a broadcast Bloom filter (might_contain) — same
+        # plan shape.
+        gate_col = norm_tokens_col or tokens_col
+        lits = ", ".join("'" + w.replace("'", "''") + "'"
+                         for w in sorted(set(first_words)))
+        if lits:
+            # gate on the first WORD of the normalized token — a dashed
+            # raw token ("Umber-Topaz") normalizes to a multi-word key
+            positions = (f"filter({positions}, "
+                         f"i -> split({gate_col}[i], ' ')[0] IN ({lits}))")
+        else:
+            positions = f"filter({positions}, i -> false)"
+
     return F.expr(
         f"""
         CASE WHEN size({tokens_col}) = 0 THEN
           CAST(array() AS {typ})
         ELSE
-          flatten(transform(sequence(0, size({tokens_col}) - 1), i ->
+          flatten(transform({positions}, i ->
             transform(sequence(1, least({max_n}, size({tokens_col}) - i)), n ->
               struct({fields}))))
         END
@@ -61,6 +86,7 @@ def explode_mentions(
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     max_n: int = 3,
+    first_words: list[str] | None = None,
 ) -> DataFrame:
     """transcripts → mentions(key_cols..., mention_id, span_start,
     span_len, ngram, ngram_norm).
@@ -77,7 +103,8 @@ def explode_mentions(
     m = (
         toks.select(
             *key_cols,
-            F.explode(ngram_struct_expr("_toks", max_n, "_ntoks")).alias("g"),
+            F.explode(ngram_struct_expr("_toks", max_n, "_ntoks",
+                                        first_words)).alias("g"),
         )
         .select(
             *key_cols,
