@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .config import DEFAULT, SemlinkConfig
-from .ngrams import explode_mentions
+from .ngrams import explode_mentions, explode_mentions_hof
 from .textnorm import clean_expr
 
 
@@ -42,7 +42,8 @@ from .textnorm import clean_expr
 
 def generate_mentions(transcripts: DataFrame,
                       cfg: SemlinkConfig = DEFAULT,
-                      first_words: list[str] | None = None) -> DataFrame:
+                      first_words: list[str] | None = None,
+                      streaming: bool = False) -> DataFrame:
     """T1-T4 + T3: transcript turns → candidate mentions.
 
     ``first_words`` (from :func:`anchor_first_words`) enables the
@@ -53,10 +54,11 @@ def generate_mentions(transcripts: DataFrame,
         "conv_id", "turn_idx",
         clean_expr(F.col("text")).alias("text"),
     )
-    return explode_mentions(t, text_col="text",
-                            key_cols=("conv_id", "turn_idx"),
-                            max_n=cfg.max_ngram_len,
-                            first_words=first_words)
+    fn = explode_mentions_hof if streaming else explode_mentions
+    return fn(t, text_col="text",
+              key_cols=("conv_id", "turn_idx"),
+              max_n=cfg.max_ngram_len,
+              first_words=first_words)
 
 
 def anchor_first_words(anchors: DataFrame,

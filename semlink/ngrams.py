@@ -81,19 +81,19 @@ def ngram_struct_expr(tokens_col: str, max_n: int,
     )
 
 
-def explode_mentions(
+def explode_mentions_hof(
     df: DataFrame,
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     max_n: int = 3,
     first_words: list[str] | None = None,
 ) -> DataFrame:
-    """transcripts → mentions(key_cols..., mention_id, span_start,
-    span_len, ngram, ngram_norm).
+    """Array/higher-order-function variant of :func:`explode_mentions`.
 
-    mention_id = "<key0>:<key1>:<span_start>:<span_len>" — deterministic,
-    no monotonically_increasing_id (which is partition-layout dependent
-    and would break resume determinism).
+    Same output. Used for STREAMING inputs (window functions are not
+    supported on streaming DataFrames); micro-batches are small enough
+    that the HOF lambda thread-contention that rules this path out for
+    batch (see explode_mentions) doesn't matter.
     """
     toks = df.select(
         *key_cols,
@@ -115,6 +115,84 @@ def explode_mentions(
         )
         .filter(F.col("ngram_norm") != "")
     )
+    id_parts = [F.col(c).cast("string") for c in key_cols] + [
+        F.col("span_start").cast("string"),
+        F.col("span_len").cast("string"),
+    ]
+    return m.withColumn("mention_id", F.concat_ws(":", *id_parts))
+
+
+def explode_mentions(
+    df: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    max_n: int = 3,
+    first_words: list[str] | None = None,
+) -> DataFrame:
+    """transcripts → mentions(key_cols..., mention_id, span_start,
+    span_len, ngram, ngram_norm).
+
+    Implementation is deliberately LAMBDA-FREE: Spark evaluates
+    higher-order-function lambdas (transform/filter) on a shared
+    interpreted expression instance whose lambda variables are
+    synchronized across task threads — measured on this workload as a
+    hard serialization point (21s wall at BOTH local[8] and local[32]).
+    Instead:
+
+      posexplode(tokens)                       — scales (plain Generate)
+      → normalize per ROW (plain regexp chain) — scales (codegen)
+      → window lead() for the following max_n-1 raw+norm tokens
+        (ONE shuffle of the token stream, keyed by turn — scales)
+      → optional first-word InSet gate (O(1) probe per row)
+      → n-gram assembly via concat_ws/nullif (NULL-skipping concat
+        reproduces whole-string normalization; '' norms become NULL)
+      → explode of a 3-element literal struct array (no lambda).
+
+    mention_id = "<key0>:<key1>:<span_start>:<span_len>" — deterministic,
+    no monotonically_increasing_id (which is partition-layout dependent
+    and would break resume determinism).
+    """
+    from pyspark.sql import Window
+
+    rows = df.select(
+        *key_cols,
+        F.posexplode(tokenize_expr(F.col(text_col))).alias("pos", "tok"),
+    ).withColumn("nrm", normalize_expr(F.col("tok")))
+
+    w = Window.partitionBy(*key_cols).orderBy("pos")
+    for k in range(1, max_n):
+        rows = rows.withColumn(f"tok{k}", F.lead("tok", k).over(w))
+        rows = rows.withColumn(f"nrm{k}", F.lead("nrm", k).over(w))
+
+    if first_words is not None:
+        fw = sorted({w0 for w0 in first_words if w0})
+        if fw:
+            rows = rows.filter(
+                F.split(F.col("nrm"), " ").getItem(0).isin(fw))
+        else:
+            rows = rows.filter(F.lit(False))
+
+    def gram(n: int):
+        raw = [F.col("tok")] + [F.col(f"tok{k}") for k in range(1, n)]
+        nrm = [F.col("nrm")] + [F.col(f"nrm{k}") for k in range(1, n)]
+        valid = raw[-1].isNotNull() if n > 1 else F.lit(True)
+        return F.struct(
+            F.lit(n).alias("span_len"),
+            F.when(valid, F.concat_ws(" ", *raw)).alias("ngram"),
+            F.concat_ws(" ", *[F.nullif(c, F.lit("")) for c in nrm])
+            .alias("ngram_norm"),
+        )
+
+    m = (rows.select(
+            *key_cols, F.col("pos").alias("span_start"),
+            F.explode(F.array(*[gram(n) for n in range(1, max_n + 1)]))
+            .alias("g"))
+         .select(*key_cols, "span_start",
+                 F.col("g.span_len").alias("span_len"),
+                 F.col("g.ngram").alias("ngram"),
+                 F.col("g.ngram_norm").alias("ngram_norm"))
+         .filter(F.col("ngram").isNotNull()
+                 & (F.col("ngram_norm") != "")))
     id_parts = [F.col(c).cast("string") for c in key_cols] + [
         F.col("span_start").cast("string"),
         F.col("span_len").cast("string"),

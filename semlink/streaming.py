@@ -41,7 +41,7 @@ def stream_candidates(transcript_stream: DataFrame, anchors: DataFrame,
     """
     t = transcript_stream.withWatermark("ts", watermark)
     mentions = generate_mentions(
-        t.select("conv_id", "turn_idx", "text"), cfg)
+        t.select("conv_id", "turn_idx", "text"), cfg, streaming=True)
     # keep the event time for windowed downstream aggs
     keyed = mentions.join(
         t.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
