@@ -63,7 +63,7 @@ Raw JSON:
 - local[8]: `{json.dumps(r8)}`
 - local[32]: `{json.dumps(r32)}`
 """
-    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out = os.path.join(REPO, "BENCH", "scaling_run.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         f.write(md)
