@@ -36,8 +36,13 @@ class SemlinkConfig:
     max_metric_strlen: int = 64            # cap for the numpy Levenshtein/JW kernel
 
     # --- skew handling (SURVEY J2) ---
+    # broadcast_dictionary=True is the right call whenever the anchor
+    # dictionary fits in executor memory (it does up to full-Wikipedia
+    # scale, ~10 GB, with a decent cluster); set False for the
+    # shuffle-join regime, where hot surface forms are salted
+    broadcast_dictionary: bool = True
     salt_buckets: int = 16                 # probe-side salt fan-out for hot keys
-    hot_key_min_count: int = 100_000       # dictionary rows above this are "hot"
+    hot_key_min_count: int = 100_000       # probe rows above this make a key "hot"
 
     # --- clustering (SURVEY C2-C5) ---
     max_cc_iterations: int = 50

@@ -280,7 +280,17 @@ def link_transcripts(transcripts: DataFrame, anchors: DataFrame,
     # multiplies the corpus ~100× and F3 + sense resolution reference
     # the candidates in 4 subplans — without the persist, Spark
     # re-executes the full explode for each (measured 5× link-stage cost)
-    cands = candidate_join(mentions, anchors, cfg).persist()
+    if cfg.broadcast_dictionary:
+        cands = candidate_join(mentions, anchors, cfg)
+    else:
+        # shuffle-join regime: detect probe-side hot keys from a cheap
+        # aggregate, then take the salted path for them (J2)
+        hot = (mentions.groupBy("ngram_norm")
+               .agg(F.count("*").alias("c"))
+               .filter(F.col("c") >= cfg.hot_key_min_count)
+               .select(F.col("ngram_norm").alias("anchor_norm")))
+        cands = salted_candidate_join(mentions, anchors, hot, cfg)
+    cands = cands.persist()
     if cfg.largest_matching_only:
         cands = largest_matching_filter(cands)
     cands = threshold_filter(cands, cfg)
