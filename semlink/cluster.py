@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import DEFAULT, SemlinkConfig
@@ -84,20 +84,55 @@ def run_connected_components(
     io = TableIO(fmt=cfg.table_format, root=ckpt)
 
     start = 0
-    cur = edges.select("src", "dst")
+    if not resume and os.path.isdir(ckpt) and io.fmt == "parquet":
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # Node dictionary: mention_id strings → dense longs via rank over
+    # the sorted distinct ids. Rank is monotone in the string order, so
+    # min-label semantics (cluster_id = min member) survive the
+    # round-trip; CC shuffles/compares then move 8-byte longs instead
+    # of ~24-byte strings. Deterministic, hence resume-stable; also
+    # persisted to the checkpoint dir for auditability.
+    if resume and io.exists(spark, "node_ids"):
+        node_ids = io.read(spark, "node_ids")
+    else:
+        nodes = (edges.select(F.col("src").alias("mention_id"))
+                 .union(edges.select(F.col("dst").alias("mention_id")))
+                 .distinct())
+        # single-partition global rank is fine up to ~1e8 nodes; at
+        # 10^12 scale switch to a two-phase rank (per-partition sort +
+        # prefix offsets) — same monotone property
+        w = Window.orderBy("mention_id")
+        node_ids = nodes.withColumn("nid", F.row_number().over(w).cast("long"))
+        node_ids = io.checkpoint(node_ids, "node_ids")
+
+    if resume and io.exists(spark, "edges_step_init"):
+        cur = io.read(spark, "edges_step_init")
+    else:
+        cur = (edges
+               .join(node_ids.withColumnRenamed("mention_id", "src")
+                     .withColumnRenamed("nid", "src_id"), "src")
+               .join(node_ids.withColumnRenamed("mention_id", "dst")
+                     .withColumnRenamed("nid", "dst_id"), "dst")
+               .select(F.col("src_id").alias("src"),
+                       F.col("dst_id").alias("dst")))
+        # materialize the encoded edge list once — every superstep
+        # consumes its input twice (sym → groupBy + join), so an
+        # unmaterialized encode would re-run its joins per consumption
+        cur = io.checkpoint(cur, "edges_step_init")
+
     if resume:
         step = _max_committed_step(spark, io, ckpt)
         if step is not None:
             cur = io.read(spark, f"edges_step_{step}")
             start = step + 1
-    elif os.path.isdir(ckpt) and io.fmt == "parquet":
-        shutil.rmtree(ckpt, ignore_errors=True)
 
     from pyspark.sql import Observation
 
     prev_fp = None
     for i in range(start, cfg.max_cc_iterations):
-        stepped = small_star(large_star(cur))
+        ls = large_star(cur).persist()     # small_star consumes it twice
+        stepped = small_star(ls)
         # convergence fingerprint rides on the checkpoint write itself
         # (observe): ONE action per superstep instead of write + agg
         obs = Observation(f"cc_step_{i}")
@@ -106,6 +141,7 @@ def run_connected_components(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"))
         io.write(stepped, f"edges_step_{i}")          # atomic commit
+        ls.unpersist()
         cur = io.read(spark, f"edges_step_{i}")       # hard lineage cut
         fp = (obs.get["n"], obs.get["h"])
         if fp == prev_fp:
@@ -117,9 +153,15 @@ def run_connected_components(
     # converged: every node's label is its min neighbor (or itself)
     nbr = _sym(cur)
     labels = nbr.groupBy("src").agg(F.min("dst").alias("mn"))
-    return labels.select(
-        F.col("src").alias("mention_id"),
-        F.least("mn", F.col("src")).alias("cluster_id"))
+    labels = labels.select(
+        F.col("src").alias("nid"),
+        F.least("mn", F.col("src")).alias("cl_id"))
+    # decode back to mention_id strings
+    return (labels
+            .join(node_ids, "nid")
+            .join(node_ids.withColumnRenamed("nid", "cl_id")
+                  .withColumnRenamed("mention_id", "cluster_id"), "cl_id")
+            .select("mention_id", "cluster_id"))
 
 
 def _max_committed_step(spark: SparkSession, io: TableIO, ckpt: str) -> int | None:
