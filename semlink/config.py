@@ -32,8 +32,18 @@ class SemlinkConfig:
     # --- pairwise scoring (SURVEY X*, J3) ---
     pair_block_cap: int = 1000             # max mentions per block kept for pairing
     match_threshold: float = 0.5           # score above which a pair is an edge
-    context_weight: float = 4.0            # weight of context relatedness vs prior
+    # weight of context relatedness vs prior: score = prior·(1 + W·Σ mw_rel)
+    # with mw_rel the Milne-Witten log-normalized relatedness ∈ [0,1].
+    # A confident context (mw_rel→1) must beat the max prior ratio the
+    # dictionary exhibits (~25× in the fixtures, similar on Wikipedia
+    # head anchors), so W > ratio−1; weak contexts (mw_rel ≪ 1) then
+    # still defer to the prior, which is the MW disambiguation intent
+    context_weight: float = 32.0
     max_metric_strlen: int = 64            # cap for the numpy Levenshtein/JW kernel
+    # max entity-outlinks per source page in the relatedness self-join;
+    # a source above the cap contributes >K² pair rows and ~no signal
+    # (Milne-Witten's log discount); bounds the join fan-out at K·|il|
+    max_source_out_degree: int = 64
 
     # --- skew handling (SURVEY J2) ---
     # broadcast_dictionary=True is the right call whenever the anchor

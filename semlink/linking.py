@@ -197,28 +197,58 @@ def attach_page_features(cands: DataFrame, pages: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------ context resolution
 
-def relatedness_table(page_links: DataFrame, entities: DataFrame) -> DataFrame:
-    """X6 precompute: shared-inlink counts between entity pages.
+def relatedness_table(page_links: DataFrame, entities: DataFrame,
+                      cfg: SemlinkConfig = DEFAULT) -> DataFrame:
+    """X6 precompute: Milne-Witten relatedness between entity pages
+    (Milne & Witten CIKM'08, the measure the reference's context
+    processor uses):
 
-    rel(e1, e2) = |inlinks(e1) ∩ inlinks(e2)| — the numerator of
-    Milne-Witten relatedness. Computed as a self-join of the inlink
-    table on the source page, restricted to entity targets.
+      mw_rel(a,b) = 1 − (log max(|A|,|B|) − log |A∩B|)
+                      / (log N − log min(|A|,|B|))
 
-    Scale: at Wikipedia scale the inlink table is ~1e9 rows; the
-    self-join explodes on high-degree sources, so production would cap
-    per-source fan-out (drop sources with >K outlinks — they carry
-    little signal, exactly as Milne-Witten's log formula discounts
-    them). Fixture scale needs no cap; flagged for O2 metrics.
+    with A = inlinks(a), N = number of linking pages, clamped to [0,1].
+    ``shared_inlinks`` (the raw |A∩B|) is kept alongside for auditing.
+
+    Scale: at Wikipedia scale the inlink table is ~1e9 rows and the
+    self-join on src_id explodes quadratically on high-degree sources —
+    one celebrity hub with 1e6 entity-outlinks would emit 1e12 pair
+    rows. Sources with more than cfg.max_source_out_degree entity
+    outlinks are dropped BEFORE the join (left_semi on the low-degree
+    set), bounding the intermediate at K·|il| rows; MW's log discount
+    is the theoretical justification (such hubs carry ~no signal).
     """
     ents = entities.select(F.col("target_id").alias("e")).distinct()
     il = (page_links
           .join(ents.withColumnRenamed("e", "dst_id"), "dst_id", "left_semi")
-          .select("src_id", F.col("dst_id").alias("e")))
+          .select("src_id", F.col("dst_id").alias("e"))
+          .distinct())
+    K = cfg.max_source_out_degree
+    ok_src = (il.groupBy("src_id").agg(F.count(F.lit(1)).alias("d"))
+              .filter(F.col("d") <= K).select("src_id"))
+    il = il.join(ok_src, "src_id", "left_semi")
+    sizes = il.groupBy("e").agg(F.count(F.lit(1)).alias("n_in"))
+    # N stays lazy: a 1-row aggregate cross-joined in (no driver action)
+    n_df = page_links.select(
+        F.count_distinct("src_id").cast("double").alias("n_pages"))
     l = il.withColumnRenamed("e", "e1")
     r = il.withColumnRenamed("e", "e2")
-    return (l.join(r, "src_id")
-            .filter(F.col("e1") != F.col("e2"))
-            .groupBy("e1", "e2").agg(F.count("*").alias("shared_inlinks")))
+    inter = (l.join(r, "src_id")
+             .filter(F.col("e1") != F.col("e2"))
+             .groupBy("e1", "e2").agg(F.count("*").alias("shared_inlinks")))
+    s1 = sizes.select(F.col("e").alias("e1"), F.col("n_in").alias("n1"))
+    s2 = sizes.select(F.col("e").alias("e2"), F.col("n_in").alias("n2"))
+    num = (F.log(F.greatest("n1", "n2").cast("double"))
+           - F.log(F.col("shared_inlinks").cast("double")))
+    den = F.log(F.col("n_pages")) - F.log(F.least("n1", "n2").cast("double"))
+    return (inter
+            .join(F.broadcast(s1), "e1")
+            .join(F.broadcast(s2), "e2")
+            .crossJoin(F.broadcast(n_df))
+            .withColumn("mw_rel", F.when(
+                den > 0,
+                F.greatest(F.lit(0.0), F.least(F.lit(1.0), 1 - num / den)))
+                .otherwise(F.lit(1.0)))
+            .select("e1", "e2", "shared_inlinks", "mw_rel"))
 
 
 def resolve_senses(cands: DataFrame, relatedness: DataFrame,
@@ -227,7 +257,8 @@ def resolve_senses(cands: DataFrame, relatedness: DataFrame,
 
     context(m) = entities of unambiguous candidates in the same
     conversation (excluding mention m itself);
-    score(s) = prior(s) * (1 + W * Σ_ctx shared_inlinks(s, ctx)).
+    score(s) = prior(s) * (1 + W * Σ_ctx mw_rel(s, ctx))
+    with mw_rel the Milne-Witten log-normalized relatedness.
 
     Deterministic tie-break: (score desc, sense_prob desc, target_id).
     """
@@ -242,7 +273,7 @@ def resolve_senses(cands: DataFrame, relatedness: DataFrame,
 
     rel = relatedness.select(
         F.col("e1").alias("target_id"), F.col("e2").alias("ctx_entity"),
-        "shared_inlinks")
+        F.col("mw_rel").alias("rel"))
 
     ctx_score = (
         c.select("mention_id", "conv_id", "target_id")
@@ -252,7 +283,7 @@ def resolve_senses(cands: DataFrame, relatedness: DataFrame,
         .distinct()                      # one vote per distinct ctx entity
         .join(F.broadcast(rel), ["target_id", "ctx_entity"], "inner")
         .groupBy("mention_id", "target_id")
-        .agg(F.sum("shared_inlinks").alias("ctx_rel"))
+        .agg(F.sum("rel").alias("ctx_rel"))
     )
 
     scored = (
@@ -294,5 +325,5 @@ def link_transcripts(transcripts: DataFrame, anchors: DataFrame,
     if cfg.largest_matching_only:
         cands = largest_matching_filter(cands)
     cands = threshold_filter(cands, cfg)
-    rel = relatedness_table(page_links, anchors)
+    rel = relatedness_table(page_links, anchors, cfg)
     return resolve_senses(cands, rel, cfg)

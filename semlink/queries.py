@@ -94,7 +94,7 @@ _DICT_SQL = f"""
   occ AS (SELECT t.token AS anchor_norm, d.source AS sense, count(*) AS sense_cnt
           FROM toks t JOIN documents d USING (doc_id)
           GROUP BY 1, 2),
-  tot AS (SELECT anchor_norm, sum(sense_cnt) AS anchor_total
+  tot AS (SELECT anchor_norm, CAST(sum(sense_cnt) AS BIGINT) AS anchor_total
           FROM occ GROUP BY 1)
   SELECT o.anchor_norm, o.sense, o.sense_cnt, t.anchor_total,
          CAST(ROUND(CAST(o.sense_cnt AS DOUBLE) / t.anchor_total * {SCALE})
@@ -305,7 +305,8 @@ def agg_pricing_summary(spark, sf_dir):
 @q("join_topk_customers", """
   WITH tot AS (
     SELECT c.c_mktsegment, c.c_custkey,
-           sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2)
   SELECT c_mktsegment, c_custkey, total_cents
@@ -515,12 +516,36 @@ def ann_brute_force_topk(spark, sf_dir):
         .withColumn("rk", F.col("rk").cast("int"))
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (f"list_inner_product({a}, {b})"
+            f" / (sqrt(list_inner_product({a}, {a}))"
+            f" * sqrt(list_inner_product({b}, {b})))")
+
+
+_IVF_K = 8
+
 @q("ann_ivf_cell_topk", f"""
-  WITH sims AS (
+  WITH seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           CAST(embedding AS DOUBLE[]) AS c_emb
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {_IVF_K})),
+  csims AS (
+    SELECT e.vec_id, e.embedding, s.cell,
+           CAST(ROUND(({_cos_sql('CAST(e.embedding AS DOUBLE[])', 's.c_emb')})
+                * {SCALE}) AS BIGINT) AS csim6
+    FROM embeddings e CROSS JOIN seeds s),
+  asg AS (
+    SELECT vec_id, embedding, cell FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim6 DESC, cell) AS crk
+      FROM csims) WHERE crk = 1),
+  sims AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-           CAST(ROUND(({_COSINE_SQL}) * {SCALE}) AS BIGINT) AS sim6
-    FROM embeddings q JOIN embeddings c
-      ON q.label = c.label AND q.vec_id <> c.vec_id
+           CAST(ROUND(({_cos_sql('CAST(q.embedding AS DOUBLE[])',
+                                 'CAST(c.embedding AS DOUBLE[])')})
+                * {SCALE}) AS BIGINT) AS sim6
+    FROM asg q JOIN asg c ON q.cell = c.cell AND q.vec_id <> c.vec_id
     WHERE q.vec_id < 50)
   SELECT query_id, cand_id, sim6, rk FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -529,14 +554,18 @@ def ann_brute_force_topk(spark, sf_dir):
   WHERE rk <= 5
 """)
 def ann_ivf_cell_topk(spark, sf_dir):
+    """Real IVF: deterministic seed centroids (k lowest-id vectors),
+    cosine argmax cell assignment, then cell-restricted search — the
+    whole index path is oracle-verified, not a fixture-label stand-in."""
     e = _read(spark, sf_dir, "embeddings")
-    q_ = (e.filter(F.col("vec_id") < 50)
+    cents = ss.seed_centroids(e, k=_IVF_K)
+    a = ss.assign_cells(e.select("vec_id", "embedding"), cents, "vec_id",
+                        nprobe=1)
+    q_ = (a.filter(F.col("vec_id") < 50)
           .select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("q_emb"),
-                  F.col("label").alias("cell")))
-    c = e.select(F.col("vec_id").alias("cand_id"),
-                 F.col("embedding").alias("c_emb"),
-                 F.col("label").alias("cell"))
+                  F.col("embedding").alias("q_emb"), "cell"))
+    c = a.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"), "cell")
     return ss.ivf_topk(c, q_, k=5).withColumn("rk", F.col("rk").cast("int"))
 
 

@@ -75,11 +75,15 @@ _ASCII_JUNK = _ASCII_JUNK.replace(" ", "")
 
 
 def _collapse_spaces(c: Column) -> Column:
-    # runs of ≤ 2^6+1 spaces collapse to one; per-token inputs can only
-    # contain runs bounded by the token's own punctuation — regex-free
+    # runs of ≤ 64 spaces collapse to one regex-free (6 halving passes);
+    # longer runs (e.g. 70+ consecutive stripped punctuation chars) would
+    # leave embedded double spaces and break oracle parity, so any row
+    # still containing "  " after the passes takes the regexp fixpoint —
+    # pathological rows only, hot path stays regex-free
     for _ in range(6):
         c = F.replace(c, F.lit("  "), F.lit(" "))
-    return c
+    return F.when(F.contains(c, F.lit("  ")),
+                  F.regexp_replace(c, " +", " ")).otherwise(c)
 
 
 def normalize_expr(col: Column) -> Column:

@@ -39,6 +39,53 @@ def _norm_val(v):
     return v
 
 
+# Canonical type classes so a DuckDB HUGEINT (int128) can't silently
+# pass against a Spark BIGINT: the driver's hash gate materializes the
+# DuckDB result as pandas, where HUGEINT/DECIMAL degrade to float64 /
+# object and hash differently even when the value multisets are equal
+# (VERDICT r01 "What's wrong" #1). Machine-int widths (int32 vs int64)
+# all render identically, so they share one class.
+_DUCK_TYPE_MAP = {
+    "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int", "TINYINT": "int",
+    "HUGEINT": "hugeint", "UBIGINT": "ubigint",
+    "DOUBLE": "float", "FLOAT": "float", "VARCHAR": "string",
+    "BOOLEAN": "boolean", "DATE": "date", "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+}
+
+_SPARK_TYPE_MAP = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float",
+}
+
+
+def _canon_duck_type(t: str) -> str:
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"array<{_canon_duck_type(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return _DUCK_TYPE_MAP.get(t, t.lower())
+
+
+def _canon_spark_type(t: str) -> str:
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_canon_spark_type(t[6:-1])}>"
+    return _SPARK_TYPE_MAP.get(t, t)
+
+
+def type_mismatches(spark_df, con, sql):
+    """Column-name → (spark_type, duck_type) for every typed mismatch."""
+    duck = {r[0]: _canon_duck_type(r[1])
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    spark = {f.name: _canon_spark_type(f.dataType.simpleString())
+             for f in spark_df.schema.fields}
+    return {c: (spark[c], duck[c])
+            for c in spark if c in duck and spark[c] != duck[c]}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:]
@@ -84,6 +131,13 @@ def main():
         status = []
         if sc != dc:
             status.append(f"cols {sc} != {dc}")
+        try:
+            tm = type_mismatches(df, con, oracles[name])
+        except Exception as e:  # DESCRIBE failure shouldn't hide value diffs
+            tm = {}
+            print(f"warn {name}: DESCRIBE failed ({e})")
+        if tm:
+            status.append(f"types differ {tm}")
         if len(sr) != len(dr):
             status.append(f"rowcount {len(sr)} != {len(dr)}")
         elif sr != dr:
