@@ -95,7 +95,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    # scaling runs time ONLY the e2e pipeline (compute-dominated at high
+    # REPLICAS); the headline loop is fixed-cost noise for that purpose
+    headline = [] if os.environ.get("SEMLINK_BENCH_PIPELINE_ONLY") else HEADLINE
+    for name in headline:
         fn, _sql = REGISTRY[name]
         t0 = time.time()
         fn(spark, sf_dir).count()

@@ -15,8 +15,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+def run(cpus: int, replicas: str, pipeline_only: bool = False) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SEMLINK_BENCH_REPLICAS=replicas)
+    if pipeline_only:
+        env["SEMLINK_BENCH_PIPELINE_ONLY"] = "1"
     p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        env=env, capture_output=True, text=True, timeout=3600)
     line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -24,9 +27,14 @@ def run(cpus: int) -> dict:
 
 
 def main():
+    # Compute-dominated measurement (VERDICT r01 next-step 3): the ~30 s
+    # fixed orchestration cost amortizes with input, so the scaling gate
+    # is measured at a large replica count, pipeline only.
+    replicas = os.environ.get("SEMLINK_SCALING_REPLICAS", "120")
+    pipeline_only = replicas != os.environ.get("SEMLINK_BENCH_REPLICAS", "30")
     # warm the fixture cache once (untimed within bench anyway)
-    r32 = run(32)
-    r8 = run(8)
+    r32 = run(32, replicas, pipeline_only)
+    r8 = run(8, replicas, pipeline_only)
 
     t8 = r8["queries"]["pipeline_e2e"]
     t32 = r32["queries"]["pipeline_e2e"]
@@ -49,6 +57,16 @@ skew join), shuffle.partitions = cores, Arrow batch 64k.
 **Pipeline scaling efficiency (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8).
 All-queries efficiency: {tot_eff:.3f} (includes small fixed-cost
 queries that don't scale — reported for transparency).
+
+Per-stage seconds and efficiency at each width (what binds and what
+scales):
+
+| stage | 8 cores | 32 cores | (T8/T32)/4 |
+| --- | --- | --- | --- |
+""" + "\n".join(
+        f"| {s} | {r8['pipeline_stages'][s]} | {r32['pipeline_stages'][s]} "
+        f"| {(r8['pipeline_stages'][s] / max(r32['pipeline_stages'][s], 0.01)) / 4:.2f} |"
+        for s in r32.get("pipeline_stages", {})) + """
 
 Per-query seconds at each width:
 
