@@ -22,6 +22,10 @@ class SemlinkConfig:
     normalize_accents: bool = True         # reference `normalize=accents`
     normalize_lower: bool = True           # reference `normalize=lower`
     strip_punctuation: bool = True
+    # full-Unicode blocking keys via the Arrow pandas-UDF normalizer
+    # (textnorm.normalize_unicode_udf) — for CJK/non-Latin corpora;
+    # default False keeps the pure-codegen ASCII path
+    unicode_normalize: bool = False
 
     # --- candidate filters (SURVEY F1-F4) ---
     min_sense_prob: float = 0.0            # reference `filter=senseProbability>=t`

@@ -20,8 +20,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MINHASH_K = 8          # permutations
-LSH_BANDS = 4          # bands of size 2
+# Default LSH parameterization. The capture probability of a pair with
+# Jaccard similarity s under (bands b, rows-per-band r) is the S-curve
+#   P(candidate) = 1 − (1 − s^r)^b
+# with inflection (the effective similarity threshold) at s* ≈ (1/b)^(1/r).
+# Defaults b=4, r=2 (k = b·r = 8 permutations) put s* at 0.5 — a near-dup
+# setting; tighten to e.g. b=2, r=4 (s* ≈ 0.84) for strict dedup. All
+# entry points take (k, bands, rows_per_band) so the curve is a config
+# decision, not a code constant (tests/test_datapipe.py sweeps it).
+MINHASH_K = 8          # permutations = bands * rows_per_band
+LSH_BANDS = 4
+LSH_ROWS_PER_BAND = 2
 SIMHASH_BITS = 16
 
 
@@ -53,13 +62,15 @@ def shingle_set(text_col: Column, n: int = 3) -> Column:
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       k: int = MINHASH_K) -> DataFrame:
+                       k: int = MINHASH_K,
+                       shingle_n: int = 3) -> DataFrame:
     """(id, mh_0..mh_{k-1}): min over shingles of md5(i:shingle).
 
     Pure SQL; the per-permutation "hash" is the lexicographic min of a
     salted md5 — portable and uniform. One scan, no shuffle.
     """
-    d = df.select(F.col(id_col), shingle_set(F.col(text_col)).alias("sh"))
+    d = df.select(F.col(id_col),
+                  shingle_set(F.col(text_col), shingle_n).alias("sh"))
 
     def mh(i: int):
         # NB: the transform lambda must be unary — PySpark passes the
@@ -72,16 +83,19 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_buckets(sigs: DataFrame, id_col: str = "doc_id",
-                bands: int = LSH_BANDS) -> DataFrame:
-    """(id, band, bucket): bucket = md5(band | mh_2b | mh_2b+1)."""
+                bands: int = LSH_BANDS,
+                rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
+    """(id, band, bucket): bucket = md5(band | mh_{b·r} | … | mh_{b·r+r−1}).
+    Band b consumes signature rows [b·r, (b+1)·r) — see the S-curve note
+    at the top of the module for choosing (bands, rows_per_band)."""
     rows = []
     for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + j}")
+                for j in range(rows_per_band)]
         rows.append(sigs.select(
             F.col(id_col),
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", F.lit(str(b)),
-                              F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}")))
-            .alias("bucket")))
+            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("bucket")))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -41,10 +41,16 @@ def build_anchor_dictionary(raw_links: DataFrame, pages: DataFrame,
     canon = p.filter(~F.col("is_redirect")).select(
         F.col("target_id").alias("canon_id"),
         normalize_expr(F.col("title")).alias("canon_norm"))
-    rd_map = (redirects
-              .join(canon, normalize_expr(F.col("rd_title")) == F.col("canon_norm"),
-                    "inner")
-              .select(F.col("rd_id"), F.col("canon_id")))
+    rd_join = redirects.join(
+        canon, normalize_expr(F.col("rd_title")) == F.col("canon_norm"),
+        "inner")
+    rd_map = rd_join.select(F.col("rd_id"), F.col("canon_id"))
+    # A8: (anchor_norm, target) pairs that exist as a redirect title —
+    # the sense provenance flag the reference carries per anchor row
+    rd_flags = rd_join.select(
+        normalize_expr(F.col("rd_title")).alias("anchor_norm"),
+        F.col("canon_id").alias("target_id"),
+        F.lit(True).alias("_from_rd")).distinct()
     normed = (normed
               .join(F.broadcast(rd_map),
                     normed.target_id == rd_map.rd_id, "left")
@@ -79,8 +85,10 @@ def build_anchor_dictionary(raw_links: DataFrame, pages: DataFrame,
            .join(F.broadcast(titles), "target_id", "left")
            # A8: sense provenance flags
            .withColumn("from_title", F.col("anchor_norm") == F.col("_title_norm"))
-           .withColumn("from_redirect", F.lit(False))
-           .drop("_title_norm"))
+           .join(F.broadcast(rd_flags), ["anchor_norm", "target_id"], "left")
+           .withColumn("from_redirect",
+                       F.coalesce(F.col("_from_rd"), F.lit(False)))
+           .drop("_title_norm", "_from_rd"))
     return out.select(
         "anchor_norm", "target_id", "target_title", "sense_link_count",
         "anchor_link_total", "anchor_text_total", "from_title", "from_redirect",

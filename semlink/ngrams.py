@@ -86,7 +86,7 @@ def explode_mentions_hof(
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     max_n: int = 3,
-    first_words: list[str] | None = None,
+    first_words: "list[str] | DataFrame | None" = None,
 ) -> DataFrame:
     """Array/higher-order-function variant of :func:`explode_mentions`.
 
@@ -95,6 +95,8 @@ def explode_mentions_hof(
     that the HOF lambda thread-contention that rules this path out for
     batch (see explode_mentions) doesn't matter.
     """
+    fw_df = first_words if isinstance(first_words, DataFrame) else None
+    fw_list = None if fw_df is not None else first_words
     toks = df.select(
         *key_cols,
         tokenize_expr(F.col(text_col)).alias("_toks"),
@@ -104,7 +106,7 @@ def explode_mentions_hof(
         toks.select(
             *key_cols,
             F.explode(ngram_struct_expr("_toks", max_n, "_ntoks",
-                                        first_words)).alias("g"),
+                                        fw_list)).alias("g"),
         )
         .select(
             *key_cols,
@@ -115,6 +117,13 @@ def explode_mentions_hof(
         )
         .filter(F.col("ngram_norm") != "")
     )
+    if fw_df is not None:
+        # streaming path gates post-explode (stream-static broadcast
+        # semi join on the mention's first normalized word)
+        g = fw_df.select(F.col(fw_df.columns[0]).alias("_fw")).distinct()
+        m = m.join(F.broadcast(g),
+                   F.split(F.col("ngram_norm"), " ").getItem(0)
+                   == F.col("_fw"), "left_semi")
     id_parts = [F.col(c).cast("string") for c in key_cols] + [
         F.col("span_start").cast("string"),
         F.col("span_len").cast("string"),
@@ -127,10 +136,16 @@ def explode_mentions(
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     max_n: int = 3,
-    first_words: list[str] | None = None,
+    first_words: "list[str] | DataFrame | None" = None,
+    norm_fn=normalize_expr,
 ) -> DataFrame:
     """transcripts → mentions(key_cols..., mention_id, span_start,
     span_len, ngram, ngram_norm).
+
+    ``norm_fn`` selects the per-token normalizer: the default codegen
+    ASCII path, or textnorm.normalize_unicode_udf for non-Latin corpora
+    (cfg.unicode_normalize) — it runs once per exploded token row, so a
+    pandas UDF slots in without touching the n-gram assembly.
 
     Implementation is deliberately LAMBDA-FREE: Spark evaluates
     higher-order-function lambdas (transform/filter) on a shared
@@ -157,7 +172,7 @@ def explode_mentions(
     rows = df.select(
         *key_cols,
         F.posexplode(tokenize_expr(F.col(text_col))).alias("pos", "tok"),
-    ).withColumn("nrm", normalize_expr(F.col("tok")))
+    ).withColumn("nrm", norm_fn(F.col("tok")))
 
     w = Window.partitionBy(*key_cols).orderBy("pos")
     for k in range(1, max_n):
@@ -165,12 +180,28 @@ def explode_mentions(
         rows = rows.withColumn(f"nrm{k}", F.lead("nrm", k).over(w))
 
     if first_words is not None:
-        fw = sorted({w0 for w0 in first_words if w0})
-        if fw:
-            rows = rows.filter(
-                F.split(F.col("nrm"), " ").getItem(0).isin(fw))
+        if isinstance(first_words, DataFrame):
+            # large-dictionary gate (SURVEY F4 fallback): the first-word
+            # set doesn't fit a literal InSet, so gate via a broadcast
+            # LEFT SEMI join — an exact JVM-side hash probe with the
+            # same plan position (before n-gram assembly). ~500k words
+            # broadcast in ~10 MB; beyond ~1e8 distinct first words,
+            # swap the broadcast table for a Bloom filter (Spark's AQE
+            # runtime row-filters do this automatically for semi joins
+            # when spark.sql.optimizer.runtime.bloomFilter.enabled).
+            fw_df = first_words.select(
+                F.col(first_words.columns[0]).alias("_fw")).distinct()
+            rows = rows.join(
+                F.broadcast(fw_df),
+                F.split(F.col("nrm"), " ").getItem(0) == F.col("_fw"),
+                "left_semi")
         else:
-            rows = rows.filter(F.lit(False))
+            fw = sorted({w0 for w0 in first_words if w0})
+            if fw:
+                rows = rows.filter(
+                    F.split(F.col("nrm"), " ").getItem(0).isin(fw))
+            else:
+                rows = rows.filter(F.lit(False))
 
     def gram(n: int):
         raw = [F.col("tok")] + [F.col(f"tok{k}") for k in range(1, n)]

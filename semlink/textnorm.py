@@ -139,3 +139,51 @@ def casing_features(ngram: Column) -> list[Column]:
         (ngram == F.upper(ngram)).cast("int").alias("f_is_upper"),
         (ngram == F.lower(ngram)).cast("int").alias("f_is_lower"),
     ]
+
+
+# ------------------------------------------------------- Unicode fallback
+
+def normalize_unicode_udf(col: Column) -> Column:
+    """Full-Unicode blocking key as an Arrow-batched pandas UDF — the
+    documented fallback for non-Latin corpora (config flag
+    ``SemlinkConfig.unicode_normalize``; the ASCII hot path above is
+    unchanged and stays pure codegen).
+
+    Semantics: dash→space, NFKD fold (ALL combining marks stripped, not
+    just Latin-1/Extended-A), casefold, then keep alphanumerics of ANY
+    script plus spaces — CJK/Greek/Cyrillic letters survive as blocking
+    key material instead of being deleted by the ASCII ``[^a-z0-9 ]``
+    strip; emoji/symbols/punctuation are dropped. For inputs the ASCII
+    path can represent (Latin letters whose NFKD base is ASCII), the
+    two paths produce IDENTICAL keys (pinned by golden pairs in
+    tests/test_textnorm.py). Arrow moves the batches; the per-row
+    unicodedata work is the price of full Unicode — which is exactly
+    why it's a fallback, not the default."""
+    # module-global import so the pandas_udf type hints resolve under
+    # `from __future__ import annotations` (PEP 563 stringizes them)
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dash_tbl = {ord(c): " " for c in _DASHES}
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            x = x.translate(dash_tbl)
+            x = "".join(c for c in unicodedata.normalize("NFKD", x)
+                        if not unicodedata.combining(c))
+            x = x.casefold()
+            # DELETE non-alnum, keeping only the literal space — exact
+            # ASCII-path semantics ("don't" → "dont"; tabs/newlines are
+            # junk chars there and get deleted, not spaced)
+            x = "".join(c for c in x if c.isalnum() or c == " ")
+            return " ".join(x.split())
+
+        return s.map(one)
+
+    return _norm(col)

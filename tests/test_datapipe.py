@@ -55,3 +55,40 @@ def test_multimodal_batch_shape(spark):
     for r in feats:
         assert 1 <= r.fake_width <= 64 and 1 <= r.fake_channels <= 4
         assert r.n_bytes == 16 and len(r.digest) == 32
+
+
+def test_lsh_s_curve_parameterization(spark):
+    """Sweeping (bands, rows_per_band) must move the capture threshold
+    as P(candidate) = 1 - (1 - s^r)^b predicts: (b=4, r=2) has s*=0.50
+    and captures J≈0.67 pairs but not J≈0.14 pairs; (b=2, r=4) has
+    s*≈0.84 and captures markedly fewer of the J≈0.67 pairs."""
+    from semlink.datapipe.dedup import (lsh_buckets, lsh_candidate_pairs,
+                                        minhash_signatures)
+
+    n_pairs = 60
+    rows = []
+    for i in range(n_pairs):
+        base = [f"t{i}_{j}" for j in range(40)]
+        hi = base[:32] + [f"h{i}_{j}" for j in range(8)]    # J = 32/48 ≈ 0.67
+        lo = base[:10] + [f"l{i}_{j}" for j in range(30)]   # J = 10/70 ≈ 0.14
+        rows.append((4 * i + 0, " ".join(base)))
+        rows.append((4 * i + 1, " ".join(hi)))
+        rows.append((4 * i + 2, " ".join(base)))   # twin base for the lo pair
+        rows.append((4 * i + 3, " ".join(lo)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def capture_rates(bands, rpb):
+        sigs = minhash_signatures(docs, k=bands * rpb, shingle_n=1)
+        pairs = lsh_candidate_pairs(lsh_buckets(sigs, bands=bands,
+                                                rows_per_band=rpb))
+        got = {(r.left_id, r.right_id) for r in pairs.collect()}
+        hi_rate = sum((4 * i, 4 * i + 1) in got for i in range(n_pairs)) / n_pairs
+        lo_rate = sum((4 * i + 2, 4 * i + 3) in got for i in range(n_pairs)) / n_pairs
+        return hi_rate, lo_rate
+
+    hi_a, lo_a = capture_rates(4, 2)   # s* = 0.50: theory hi≈0.90 lo≈0.08
+    hi_b, lo_b = capture_rates(2, 4)   # s* = 0.84: theory hi≈0.36 lo≈0.0008
+    assert hi_a >= 0.75, f"loose LSH missed high-J pairs: {hi_a}"
+    assert lo_a <= 0.30, f"loose LSH captured low-J pairs: {lo_a}"
+    assert hi_b <= hi_a - 0.2, f"tight LSH should capture fewer: {hi_b} vs {hi_a}"
+    assert lo_b <= 0.10, f"tight LSH captured low-J pairs: {lo_b}"

@@ -49,3 +49,28 @@ def test_page_degree_stats(spark, fx_tiny_dfs):
         (F.col("b.inlink_count") != F.col("g.inlink_count"))
         | (F.col("b.outlink_count") != F.col("g.outlink_count"))).count()
     assert bad == 0
+
+
+def test_from_redirect_flag_set(spark):
+    """A8: an anchor that is a redirect page's title gets
+    from_redirect=True on the canonical sense."""
+    from semlink.dictionary import build_anchor_dictionary
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [(1, "Main Page", False), (2, "Alias Name", True),
+         (3, "Main Page", True)],   # 3 redirects to 1 by title
+        "target_id long, title string, is_redirect boolean")
+    # "alias name" must resolve where? redirect 2 has no canon with that
+    # title → unresolved; links to 2 stay on 2
+    raw = spark.createDataFrame(
+        [(10, "Main Page", 3, True),     # via redirect 3 → canon 1
+         (11, "main-page", 1, True),     # direct
+         (12, "Alias Name", 2, True)],   # unresolvable redirect target
+        "doc_id long, anchor string, target_id long, is_link boolean")
+    d = build_anchor_dictionary(raw, pages)
+    rows = {(r.anchor_norm, r.target_id): r for r in d.collect()}
+    assert rows[("main page", 1)].from_redirect is True   # redirect 3 title
+    assert rows[("main page", 1)].from_title is True
+    assert rows[("main page", 1)].sense_link_count == 2   # both links merged
+    assert rows[("alias name", 2)].from_redirect is False

@@ -79,3 +79,29 @@ def test_relatedness_symmetric(spark, fx_tiny_dfs):
                  F.count("*").alias("c"))
             .filter((F.col("n") != 1) | (F.col("c") != 2)).count())
     assert asym == 0
+
+
+def test_relatedness_hot_source_capped(spark):
+    """A degree-K+ hub source must be excluded BEFORE the self-join
+    (bounded intermediate rows, VERDICT r01 wrong #3), and mw_rel must
+    be the log-normalized Milne-Witten value in [0, 1]."""
+    import math
+
+    from semlink.config import SemlinkConfig
+
+    ents = spark.createDataFrame([(i,) for i in range(80)], "target_id long")
+    hub = [(999, i) for i in range(80)]                 # degree-80 hub
+    normal = ([(10_000 + i, i) for i in range(80)]
+              + [(10_000 + i, (i + 1) % 80) for i in range(80)])
+    pl = spark.createDataFrame(hub + normal, "src_id long, dst_id long")
+    rel = relatedness_table(pl, ents, SemlinkConfig(max_source_out_degree=64))
+    rows = rel.collect()
+    # hub excluded: only the ring-neighbor pairs remain (80 ordered pairs
+    # each direction), never the hub's 80*79
+    assert len(rows) == 160
+    n_pages = 81  # 80 normal srcs + the hub (N counts all linking pages)
+    for r in rows:
+        assert 0.0 <= r.mw_rel <= 1.0
+        # n1 = n2 = 2 inlinks per entity, inter = 1:
+        want = 1 - (math.log(2) - math.log(1)) / (math.log(n_pages) - math.log(2))
+        assert abs(r.mw_rel - want) < 1e-9

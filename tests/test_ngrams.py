@@ -38,3 +38,48 @@ def test_ngram_duckdb_parity(spark):
     oracle = sorted(tuple(r) for r in con.execute(
         ngram_duckdb_sql("docs", "conv_id", "text", 3)).fetchall())
     assert got == oracle
+
+
+def test_first_word_gate_dataframe_equals_inset(spark):
+    """F4 large-dictionary gate: the broadcast-semi-join form must
+    produce exactly the InSet-literal form's mentions, and the plan
+    must gate via a broadcast join (the gate never silently vanishes
+    for big dictionaries — VERDICT r01 missing #4)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from semlink.ngrams import explode_mentions
+
+    rows = [(f"c{i}", 0, f"alpha{i % 7} beta{i % 5} gamma delta{i % 3}")
+            for i in range(200)]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    fw_list = [f"alpha{k}" for k in range(7)] + ["gamma"]
+    fw_df = spark.createDataFrame([(w,) for w in fw_list], "w string")
+
+    a = explode_mentions(t, first_words=fw_list)
+    b = explode_mentions(t, first_words=fw_df)
+    cols = ["mention_id", "ngram", "ngram_norm"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    assert a.count() > 0
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        b.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_anchor_first_words_switches_to_dataframe(spark):
+    from pyspark.sql import DataFrame as _DF
+
+    from semlink.linking import anchor_first_words
+
+    anchors = spark.createDataFrame(
+        [(f"anchor{i} tail", i) for i in range(50)],
+        "anchor_norm string, target_id long")
+    small = anchor_first_words(anchors, max_set_size=100)
+    assert isinstance(small, list) and "anchor7" in small
+    big = anchor_first_words(anchors, max_set_size=10)
+    assert isinstance(big, _DF)
+    assert {r.w for r in big.collect()} == {f"anchor{i}" for i in range(50)}

@@ -65,3 +65,79 @@ def test_ivf_subset_of_brute_force(spark, emb):
     for r in ivf:
         assert cells[r.query_id] == cells[r.cand_id]   # cell-restricted
         assert bf[(r.query_id, r.cand_id)] == r.sim6    # same similarity
+
+
+def test_kmeans_centroids_deterministic_and_useful(spark, emb):
+    """Lloyd refinement must be bit-deterministic run to run (scaled
+    bigint averaging) and assign same-seed vectors to the same cell."""
+    from semlink.datapipe.simsearch import assign_cells, kmeans_centroids
+
+    c1 = kmeans_centroids(emb, k=6, iters=3)
+    c2 = kmeans_centroids(emb, k=6, iters=3)
+    r1 = sorted((r.cell, tuple(r.c_emb)) for r in c1.collect())
+    r2 = sorted((r.cell, tuple(r.c_emb)) for r in c2.collect())
+    assert r1 == r2    # bit-identical
+
+    a = assign_cells(emb.select("vec_id", "embedding"), c1, "vec_id")
+    cells = {r.vec_id: r.cell for r in a.collect()}
+    assert len(cells) == emb.count()     # every vector assigned once
+    # same-seed groups (i % 10) are near-identical vectors → same cell
+    for i in range(40):
+        assert cells[i] == cells[i % 10]
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """IVF with learned centroids: recall@5 vs brute force at nprobe=2
+    on the sf0.001 embeddings table (real data, 64-dim)."""
+    from pyspark.sql import functions as F
+
+    from semlink.datapipe.simsearch import (assign_cells, brute_force_topk,
+                                            ivf_topk, kmeans_centroids)
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(e, k=8, iters=3)
+    a_q = assign_cells(e.filter("vec_id < 20").select("vec_id", "embedding"),
+                       cents, "vec_id", nprobe=2)
+    a_c = assign_cells(e.select("vec_id", "embedding"), cents, "vec_id",
+                       nprobe=1)
+    q = a_q.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("q_emb"), "cell")
+    c = a_c.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("c_emb"), "cell")
+    ivf = ivf_topk(c, q, k=5).dropDuplicates(["query_id", "cand_id"])
+
+    bfq = e.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    bfc = e.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("c_emb"))
+    bf = brute_force_topk(bfc, bfq, k=5)
+
+    truth = {(r.query_id, r.cand_id) for r in bf.collect()}
+    got = {(r.query_id, r.cand_id) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall}"
+
+
+def test_near_dup_edges_ivf_matches_exact(spark, emb):
+    """The cell-routed near-dup edge builder must recover the exact
+    cross-join edge set at a high threshold (near-identical vectors
+    share their top cell by construction)."""
+    from pyspark.sql import functions as F
+
+    from semlink.datapipe.simsearch import (cosine_near_dup_edges,
+                                            cosine_near_dup_edges_ivf,
+                                            kmeans_centroids)
+
+    q = emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("q_emb"))
+    c = emb.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("c_emb"))
+    exact = {(r.src, r.dst) for r in
+             cosine_near_dup_edges(c, q, threshold=0.999).collect()}
+
+    cents = kmeans_centroids(emb, k=4, iters=2)
+    got = {(r.src, r.dst) for r in
+           cosine_near_dup_edges_ivf(emb, cents, threshold=0.999,
+                                     nprobe=2).collect()}
+    assert got == exact
+    assert len(exact) > 0

@@ -47,3 +47,58 @@ def test_tokenize_empty_and_blank(spark):
     df = spark.createDataFrame([("",), ("   ",), ("a  b",)], "s string")
     got = [r[0] for r in df.select(tokenize_expr(F.col("s"))).collect()]
     assert got == [[], [], ["a", "b"]]
+
+
+def test_unicode_udf_golden_pairs(spark):
+    """Full-Unicode fallback: CJK survives, emoji/punct dropped, NFKD
+    folds beyond the Latin translate ranges."""
+    from semlink.textnorm import normalize_unicode_udf
+    from pyspark.sql import functions as F
+
+    golden = [
+        ("Café au-lait!", "cafe au lait"),
+        ("東京 タワー🗼 2024", "東京 タワー 2024"),
+        ("Ελληνικά: ναί", "ελληνικα ναι"),
+        ("Привет, мир!", "привет мир"),
+        ("don't STOP-me", "dont stop me"),
+        ("  á   b̈  ", "a b"),       # combining marks folded
+        ("💥💥💥", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(g[0],) for g in golden], "s string")
+    got = [r.n for r in
+           df.select(normalize_unicode_udf(F.col("s")).alias("n")).collect()]
+    assert got == [g[1] for g in golden]
+
+
+def test_unicode_udf_matches_ascii_path_on_latin(spark):
+    """For Latin-foldable inputs both normalizers must emit identical
+    blocking keys (the flag changes physics, not semantics)."""
+    from semlink.textnorm import normalize_expr, normalize_unicode_udf
+    from pyspark.sql import functions as F
+
+    samples = [
+        "Hello, World!", "Ångström–Unit", "naïve  co-op", "don't",
+        "A -- B --- C", "ÉCOLE élémentaire", "x" + "-" * 70 + "y",
+        "tab\tand\nnewline", "123 Mixed-CASE tokens!!",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    out = df.select(
+        normalize_expr(F.col("s")).alias("a"),
+        normalize_unicode_udf(F.col("s")).alias("b")).collect()
+    for s, r in zip(samples, out):
+        assert r.a == r.b, f"{s!r}: {r.a!r} != {r.b!r}"
+
+
+def test_pipeline_runs_with_unicode_flag(spark, fx_tiny_dfs):
+    """cfg.unicode_normalize swaps the normalizer without changing
+    fixture results (ASCII corpus → identical mentions)."""
+    from semlink.config import SemlinkConfig
+    from semlink.linking import generate_mentions
+
+    a = generate_mentions(fx_tiny_dfs["transcripts"], SemlinkConfig())
+    b = generate_mentions(fx_tiny_dfs["transcripts"],
+                          SemlinkConfig(unicode_normalize=True))
+    cols = ["mention_id", "ngram_norm"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
