@@ -90,6 +90,39 @@ def main():
     checks.append(("no row-wise BatchEvalPython anywhere",
                    "BatchEvalPython" not in p4))
 
+    # 5. CC node-id encode is fully distributed (VERDICT r01 wrong #2):
+    # no single-partition exchange anywhere in the rank plan
+    from pyspark.sql import functions as F2
+    from semlink.cluster import _dense_rank_ids
+    # audit the rank itself over a clean scan-derived node source —
+    # resolved's lineage legitimately contains a 1-row global aggregate
+    # (the MW n_pages count) that is SinglePartition by nature
+    nodes = t.select(F2.concat_ws(
+        ":", "conv_id", F2.col("turn_idx").cast("string"))
+        .alias("mention_id")).distinct()
+    p5 = formatted(_dense_rank_ids(nodes, num_parts=8))
+    sections["CC node-id encode (two-phase rank)"] = p5
+    checks.append(("node-id rank has no SinglePartition exchange",
+                   "SinglePartition" not in p5))
+    checks.append(("node-id rank range-partitions the nodes",
+                   "rangepartitioning" in p5.lower()))
+
+    # 6. relatedness self-join is capped + aggregated with partial aggs
+    from semlink.linking import relatedness_table
+    p6 = formatted(relatedness_table(fx["page_links"], anchors))
+    sections["MW relatedness (X6)"] = p6
+    checks.append(("relatedness fan-out cap applied (LeftSemi before join)",
+                   "LeftSemi" in p6))
+
+    # 7. large-dictionary first-word gate is a broadcast semi join
+    fw_df = anchors.select(
+        F2.split("anchor_norm", " ").getItem(0).alias("w")).distinct()
+    gated = generate_mentions(t, first_words=fw_df)
+    p7 = formatted(gated)
+    sections["first-word gate (DataFrame form, F4)"] = p7
+    checks.append(("DataFrame gate is BroadcastHashJoin LeftSemi",
+                   "BroadcastHashJoin" in p7 and "LeftSemi" in p7))
+
     out = ["# PLANS — physical plan audit\n",
            "Generated by tools/explain_audit.py. Checks:\n"]
     ok = True
