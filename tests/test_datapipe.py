@@ -39,22 +39,66 @@ def test_query_matches_oracle(spark, duck, name):
     assert sr == dr
 
 
-def test_multimodal_strict_raises():
-    from semlink.datapipe.multimodal import decode_image_stub
+def test_multimodal_pixel_stub_raises():
+    from semlink.datapipe.multimodal import decode_pixels_stub
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"abc", strict=True)
+        decode_pixels_stub(b"abc")
 
 
-def test_multimodal_batch_shape(spark):
+def test_decode_media_header_goldens():
+    """Hand-built container headers decode to known values; garbage is
+    fmt=unknown, never an exception."""
+    import struct
+    import zlib
+    from semlink.datapipe.multimodal import decode_media_header
+
+    ihdr = struct.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0])
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    assert decode_media_header(png) == {
+        "fmt": "png", "width": 640, "height": 480, "channels": 4}
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert decode_media_header(gif) == {
+        "fmt": "gif", "width": 320, "height": 200, "channels": 3}
+
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)
+    assert decode_media_header(jpeg) == {
+        "fmt": "jpeg", "width": 1920, "height": 1080, "channels": 3}
+
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+           + struct.pack("<I", 16) + struct.pack("<HHIIHH",
+                                                 1, 2, 44100, 176400, 4, 16))
+    assert decode_media_header(wav) == {
+        "fmt": "wav", "width": 44100, "height": 16, "channels": 2}
+
+    for garbage in (b"", b"\x00" * 50, b"\x89PNG\r\n\x1a\n" + b"\x01",
+                    b"\xff\xd8\xff"):
+        assert decode_media_header(garbage)["fmt"] == "unknown"
+
+
+def test_multimodal_roundtrip_real_decode(spark):
+    """The JVM-synthesized PNG bytes decode back to the md5-derived
+    dimensions through the Arrow mapInPandas path."""
+    import hashlib
     from semlink.datapipe.multimodal import (extract_media_features,
                                              synthesize_media)
     d = spark.createDataFrame([(1, "hello world"), (2, "")],
                               "doc_id long, text string")
-    feats = extract_media_features(synthesize_media(d)).collect()
+    feats = {r.media_id: r
+             for r in extract_media_features(synthesize_media(d)).collect()}
     assert len(feats) == 2
-    for r in feats:
-        assert 1 <= r.fake_width <= 64 and 1 <= r.fake_channels <= 4
-        assert r.n_bytes == 16 and len(r.digest) == 32
+    for doc_id, text in ((1, "hello world"), (2, "")):
+        h = hashlib.md5(text.encode()).hexdigest()
+        r = feats[f"m{doc_id}"]
+        assert r.fmt == "png" and r.n_bytes == 33
+        assert r.width == 1 + int(h[0:2], 16) % 64
+        assert r.height == 1 + int(h[2:4], 16) % 64
+        assert r.channels == {0: 1, 2: 3, 4: 2, 6: 4}[(int(h[4], 16) % 4) * 2]
+        assert len(r.digest) == 32
 
 
 def test_lsh_s_curve_parameterization(spark):
