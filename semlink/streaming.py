@@ -54,9 +54,10 @@ def windowed_mention_counts(transcript_stream: DataFrame, anchors: DataFrame,
                             gap: str = "30 minutes") -> DataFrame:
     """Session-windowed per-conversation candidate counts — the
     streaming analogue of the reference's rolling `context` grouping."""
+    # stream_candidates already set the watermark on ts; it propagates
+    # through the stream-static join (Spark 4 disallows redefining it)
     cands = stream_candidates(transcript_stream, anchors, cfg, watermark)
     return (cands
-            .withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
             .agg(F.count("*").alias("n_candidates"),
                  F.approx_count_distinct("target_id").alias("n_entities")))
