@@ -121,6 +121,13 @@ def salted_candidate_join(mentions: DataFrame, anchors: DataFrame,
                           cfg: SemlinkConfig = DEFAULT) -> DataFrame:
     """J2: skew-safe variant for the shuffle-join regime.
 
+    Measured guidance (BENCH/BASELINE.md §4b): when AQE is available,
+    its runtime skew-join split beats this manual salt (2.8 s vs 6.4 s
+    at 8M skewed rows) — prefer broadcast, then AQE. This path exists
+    for where AQE cannot run: STREAMING stream-static joins (AQE is
+    disabled on streaming queries), or engines with AQE off. It is
+    oracle-verified identical to the plain join (rl_salted_join).
+
     ``hot_keys`` is a small DataFrame(anchor_norm) of surface forms whose
     probe-side frequency exceeds cfg.hot_key_min_count (computed from O2
     metrics of a prior run, or a sampled count). Hot dictionary rows are

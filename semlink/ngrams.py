@@ -87,6 +87,7 @@ def explode_mentions_hof(
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     max_n: int = 3,
     first_words: "list[str] | DataFrame | None" = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Array/higher-order-function variant of :func:`explode_mentions`.
 
@@ -94,22 +95,27 @@ def explode_mentions_hof(
     supported on streaming DataFrames); micro-batches are small enough
     that the HOF lambda thread-contention that rules this path out for
     batch (see explode_mentions) doesn't matter.
+
+    ``carry_cols`` ride through unchanged without joining mention_id —
+    the streaming path carries the event-time column this way, so the
+    watermark survives the explode and no stream-stream self-join is
+    ever needed.
     """
     fw_df = first_words if isinstance(first_words, DataFrame) else None
     fw_list = None if fw_df is not None else first_words
     toks = df.select(
-        *key_cols,
+        *key_cols, *carry_cols,
         tokenize_expr(F.col(text_col)).alias("_toks"),
     ).withColumn("_ntoks", F.transform(F.col("_toks"),
                                        lambda t: normalize_expr(t)))
     m = (
         toks.select(
-            *key_cols,
+            *key_cols, *carry_cols,
             F.explode(ngram_struct_expr("_toks", max_n, "_ntoks",
                                         fw_list)).alias("g"),
         )
         .select(
-            *key_cols,
+            *key_cols, *carry_cols,
             F.col("g.span_start").alias("span_start"),
             F.col("g.span_len").alias("span_len"),
             F.col("g.ngram").alias("ngram"),

@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import DEFAULT, SemlinkConfig
-from .linking import candidate_join, generate_mentions
+from .linking import candidate_join
+from .ngrams import explode_mentions_hof
+from .textnorm import clean_expr
 
 
 def stream_candidates(transcript_stream: DataFrame, anchors: DataFrame,
@@ -38,14 +40,20 @@ def stream_candidates(transcript_stream: DataFrame, anchors: DataFrame,
           .trigger(processingTime="30 seconds")
           .option("checkpointLocation", ckpt)
           .foreachBatch(append_edges).start()
+
+    The event-time column rides THROUGH the mention explode
+    (carry_cols), so the watermark set here propagates to every
+    downstream stateful op and no stream-stream self-join is needed
+    (round 1 re-joined mentions with the stream to recover ts — twice
+    the source reads, and the join muddied late-row accounting).
     """
     t = transcript_stream.withWatermark("ts", watermark)
-    mentions = generate_mentions(
-        t.select("conv_id", "turn_idx", "text"), cfg, streaming=True)
-    # keep the event time for windowed downstream aggs
-    keyed = mentions.join(
-        t.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
-    return candidate_join(keyed, anchors, cfg)
+    cleaned = t.select("conv_id", "turn_idx", "ts",
+                       clean_expr(F.col("text")).alias("text"))
+    mentions = explode_mentions_hof(
+        cleaned, text_col="text", key_cols=("conv_id", "turn_idx"),
+        max_n=cfg.max_ngram_len, carry_cols=("ts",))
+    return candidate_join(mentions, anchors, cfg)
 
 
 def windowed_mention_counts(transcript_stream: DataFrame, anchors: DataFrame,
@@ -61,3 +69,27 @@ def windowed_mention_counts(transcript_stream: DataFrame, anchors: DataFrame,
             .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
             .agg(F.count("*").alias("n_candidates"),
                  F.approx_count_distinct("target_id").alias("n_entities")))
+
+
+def progress_metrics(query) -> dict:
+    """Late-data visibility (O2 tie-in): totals from the streaming
+    query's recentProgress — rows dropped by the watermark surface here
+    (the docstring contract above) and flow into ops.MetricsCollector
+    as plain counts."""
+    n_in = 0
+    dropped = 0
+    for p in query.recentProgress:
+        n_in += int(p.get("numInputRows", 0) or 0)
+        for so in p.get("stateOperators", []) or []:
+            dropped += int(so.get("numRowsDroppedByWatermark", 0) or 0)
+    return {"num_input_rows": n_in, "rows_dropped_by_watermark": dropped}
+
+
+def candidates_append_sink(io, table: str = "stream_candidates"):
+    """The documented foreachBatch sink: append each micro-batch's
+    candidate links to a TableIO table (parquet/Iceberg). Clustering
+    stays a periodic batch job over the accumulated table."""
+    def append(batch_df, batch_id: int):
+        io.write(batch_df.withColumn(
+            "_batch_id", F.lit(batch_id).cast("long")), table, mode="append")
+    return append

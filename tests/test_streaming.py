@@ -76,3 +76,85 @@ def test_windowed_mention_counts_match_batch(spark, fx_tiny_dfs, tmp_path):
     held_back = expected - emitted
     assert got == emitted and len(got) > 0
     assert all(e[2] > horizon for e in held_back)
+
+
+def _mini_anchors(spark):
+    return spark.createDataFrame(
+        [("alpha", 1, "Alpha Page", 5, 5, 6, False, False)],
+        "anchor_norm string, target_id long, target_title string, "
+        "sense_link_count long, anchor_link_total long, "
+        "anchor_text_total long, from_title boolean, from_redirect boolean")
+
+
+def test_late_rows_dropped_by_watermark_are_counted(spark, tmp_path):
+    """A turn arriving behind the watermark is dropped by the stateful
+    session-window operator and SURFACES in progress_metrics — the
+    documented late-data contract."""
+    import datetime
+
+    from semlink.streaming import progress_metrics, windowed_mention_counts
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    src = tmp_path / "late_src"
+    # Spark filters late events with the PREVIOUS batch's watermark, so
+    # the drop needs three batches: f1 advances the watermark, f2 makes
+    # that watermark the late-events bound, f3 carries the late row.
+    import time as _time
+    fresh = [("cA", i, "user", "alpha beta", "",
+              t0 + datetime.timedelta(minutes=30 + i)) for i in range(3)]
+    spark.createDataFrame(fresh, schema).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    _time.sleep(1.1)
+    fresh2 = [("cA", 10, "user", "alpha beta", "",
+               t0 + datetime.timedelta(minutes=34))]
+    spark.createDataFrame(fresh2, schema).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    _time.sleep(1.1)
+    late = [("cA", 99, "user", "alpha gamma", "",
+             t0 - datetime.timedelta(minutes=30))]
+    spark.createDataFrame(late, schema).coalesce(1) \
+        .write.parquet(str(src / "f3"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    out = windowed_mention_counts(stream, _mini_anchors(spark),
+                                  watermark="10 minutes", gap="5 minutes")
+    q = (out.writeStream.format("memory").queryName("late_t")
+         .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    m = progress_metrics(q)
+    assert m["num_input_rows"] == 5   # single source read (no self-join)
+    assert m["rows_dropped_by_watermark"] >= 1
+
+
+def test_foreach_batch_append_sink(spark, fx_tiny_dfs, tmp_path):
+    """The documented continuous-pipeline sink: foreachBatch appends
+    candidates to a TableIO table; accumulated rows equal the batch
+    join."""
+    from semlink.io import TableIO
+    from semlink.streaming import candidates_append_sink, stream_candidates
+
+    d = fx_tiny_dfs
+    src = str(tmp_path / "fb_src")
+    d["transcripts"].coalesce(2).write.parquet(src)
+    io = TableIO(fmt="parquet", root=str(tmp_path / "fb_out"))
+
+    stream = spark.readStream.schema(d["transcripts"].schema).parquet(src)
+    out = stream_candidates(stream, d["anchors"])
+    q = (out.select("mention_id", "target_id").writeStream
+         .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+         .foreachBatch(candidates_append_sink(io))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted((r.mention_id, r.target_id) for r in
+                 io.read(spark, "stream_candidates")
+                 .select("mention_id", "target_id").collect())
+    batch = candidate_join(generate_mentions(d["transcripts"]), d["anchors"])
+    expected = sorted((r.mention_id, r.target_id) for r in
+                      batch.select("mention_id", "target_id").collect())
+    assert got == expected
