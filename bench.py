@@ -39,8 +39,11 @@ BENCH_DIR = os.environ.get("SEMLINK_BENCH_DIR", "/tmp/semlink_bench")
 HEADLINE = [
     "rl_ngram_explode", "rl_link_top1", "rl_mention_pairs",
     "rl_largest_matching", "rl_connected_components",
+    "rl_relatedness_mw",
     "dedup_minhash_signatures", "dedup_lsh_pairs", "dedup_simhash",
-    "ann_brute_force_topk", "text_quality_score", "text_fingerprints",
+    "dedup_near_dup_clusters",
+    "ann_brute_force_topk", "ann_ivf_cell_topk",
+    "text_quality_score", "text_fingerprints", "media_features",
     "agg_pricing_summary",
 ]
 
@@ -116,6 +119,27 @@ def main() -> None:
 
     ckpt = os.path.join(BENCH_DIR, f"ckpt_{cpus}")
     cfg = SemlinkConfig(checkpoint_dir=ckpt, shuffle_partitions=cpus)
+    # optional JVM warmup for scaling runs: one untimed pipeline pass
+    # over a DIFFERENT (smaller) fixture first (codegen+JIT compile
+    # ~35 s serial-ish — measured; it otherwise lands inside the timed
+    # window at BOTH widths and depresses the efficiency ratio; a
+    # long-lived cluster job is warm). The warmup MUST NOT use the
+    # timed input: Spark's CacheManager matches persisted plans by
+    # CANONICALIZED form, so an identical warmup run would serve the
+    # timed pass from cache (measured: fake 207k turns/s). Different
+    # data + clearCache() ⇒ the timed run recomputes everything.
+    if os.environ.get("SEMLINK_BENCH_WARMUP"):
+        global REPLICAS
+        saved = REPLICAS
+        REPLICAS = max(2, saved // 10)
+        warm_fx = ensure_bench_fixture(spark)
+        REPLICAS = saved
+        run_pipeline(
+            spark.read.parquet(os.path.join(warm_fx, "transcripts.parquet")),
+            spark.read.parquet(os.path.join(warm_fx, "anchors.parquet")),
+            spark.read.parquet(os.path.join(warm_fx, "page_links.parquet")),
+            cfg, ckpt_dir=os.path.join(BENCH_DIR, f"warm_{cpus}"))
+        spark.catalog.clearCache()
     t0 = time.time()
     res = run_pipeline(t, anchors, pl, cfg, ckpt_dir=ckpt)
     n_clusters = res["assignments"].select("cluster_id").distinct().count()

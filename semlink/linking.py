@@ -55,10 +55,22 @@ def generate_mentions(transcripts: DataFrame,
         clean_expr(F.col("text")).alias("text"),
     )
     if streaming:
-        return explode_mentions_hof(t, text_col="text",
-                                    key_cols=("conv_id", "turn_idx"),
-                                    max_n=cfg.max_ngram_len,
-                                    first_words=first_words)
+        m = explode_mentions_hof(t, text_col="text",
+                                 key_cols=("conv_id", "turn_idx"),
+                                 max_n=cfg.max_ngram_len,
+                                 first_words=first_words,
+                                 keep_empty_norm=cfg.unicode_normalize)
+        if cfg.unicode_normalize:
+            # pandas UDFs can't run inside the HOF array transform, so
+            # the streaming path re-derives the blocking key from the
+            # raw ngram post-explode. Whole-string == tokenwise-joined
+            # normalization (deletion + collapse is homomorphic over
+            # space-joined concat; tests pin CJK goldens both ways).
+            from .textnorm import normalize_unicode_udf
+            m = (m.withColumn("ngram_norm",
+                              normalize_unicode_udf(F.col("ngram")))
+                 .filter(F.col("ngram_norm") != ""))
+        return m
     kwargs = {}
     if cfg.unicode_normalize:
         from .textnorm import normalize_unicode_udf

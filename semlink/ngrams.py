@@ -88,8 +88,13 @@ def explode_mentions_hof(
     max_n: int = 3,
     first_words: "list[str] | DataFrame | None" = None,
     carry_cols: tuple[str, ...] = (),
+    keep_empty_norm: bool = False,
 ) -> DataFrame:
     """Array/higher-order-function variant of :func:`explode_mentions`.
+
+    ``keep_empty_norm=True`` keeps spans whose ASCII-normalized key is
+    empty — for callers that re-derive the blocking key afterwards
+    (the streaming unicode path: CJK tokens ASCII-normalize to '').
 
     Same output. Used for STREAMING inputs (window functions are not
     supported on streaming DataFrames); micro-batches are small enough
@@ -121,8 +126,9 @@ def explode_mentions_hof(
             F.col("g.ngram").alias("ngram"),
             F.col("g.ngram_norm").alias("ngram_norm"),
         )
-        .filter(F.col("ngram_norm") != "")
     )
+    if not keep_empty_norm:
+        m = m.filter(F.col("ngram_norm") != "")
     if fw_df is not None:
         # streaming path gates post-explode (stream-static broadcast
         # semi join on the mention's first normalized word)

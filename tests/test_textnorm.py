@@ -102,3 +102,23 @@ def test_pipeline_runs_with_unicode_flag(spark, fx_tiny_dfs):
     cols = ["mention_id", "ngram_norm"]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_unicode_streaming_path_matches_batch(spark):
+    """cfg.unicode_normalize works on the streaming (HOF) mention path
+    via post-explode re-normalization; blocking keys match the batch
+    path on a CJK corpus."""
+    from semlink.config import SemlinkConfig
+    from semlink.linking import generate_mentions
+
+    rows = [("c1", 0, "東京 タワー は 高い 🗼"),
+            ("c2", 1, "Café au-lait delicious")]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    cfg = SemlinkConfig(unicode_normalize=True, max_ngram_len=2)
+    batch = generate_mentions(t, cfg)
+    stream_shaped = generate_mentions(t, cfg, streaming=True)
+    cols = ["mention_id", "ngram_norm"]
+    a = {tuple(r) for r in batch.select(cols).collect()}
+    b = {tuple(r) for r in stream_shaped.select(cols).collect()}
+    assert a == b and len(a) > 0
+    assert any("東京" in k for _, k in a)

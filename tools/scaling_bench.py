@@ -20,6 +20,7 @@ def run(cpus: int, replicas: str, pipeline_only: bool = False) -> dict:
                SEMLINK_BENCH_REPLICAS=replicas)
     if pipeline_only:
         env["SEMLINK_BENCH_PIPELINE_ONLY"] = "1"
+        env["SEMLINK_BENCH_WARMUP"] = "1"
     p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        env=env, capture_output=True, text=True, timeout=3600)
     line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
