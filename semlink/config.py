@@ -31,6 +31,7 @@ class SemlinkConfig:
     min_sense_prob: float = 0.0            # reference `filter=senseProbability>=t`
     min_link_prob: float = 0.0
     largest_matching_only: bool = True     # reference `largest_matching`
+    skip_stopword_mentions: bool = False   # F4: drop bare-stopword keys
     top_k_senses: int = 5
 
     # --- pairwise scoring (SURVEY X*, J3) ---

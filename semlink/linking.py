@@ -208,6 +208,18 @@ def threshold_filter(cands: DataFrame, cfg: SemlinkConfig = DEFAULT) -> DataFram
     return out
 
 
+def stopword_filter(cands: DataFrame,
+                    stopwords: tuple[str, ...] | None = None) -> DataFrame:
+    """F4: drop candidates whose full surface form is a bare stopword
+    (the reference's `filter=unique,senseProbability...` pipelines skip
+    stopword anchors outright). Multi-word mentions containing a
+    stopword are kept — only an exact single-stopword key is dropped.
+    Compiles to an O(1) InSet probe; no shuffle."""
+    from .datapipe.textstats import EN_STOPWORDS
+    sw = list(stopwords if stopwords is not None else EN_STOPWORDS)
+    return cands.filter(~F.col("ngram_norm").isin(sw))
+
+
 def unique_filter(cands: DataFrame) -> DataFrame:
     """F2: one row per (mention, target), keeping max sense_prob."""
     w = Window.partitionBy("mention_id", "target_id").orderBy(
@@ -357,5 +369,7 @@ def link_transcripts(transcripts: DataFrame, anchors: DataFrame,
     if cfg.largest_matching_only:
         cands = largest_matching_filter(cands)
     cands = threshold_filter(cands, cfg)
+    if cfg.skip_stopword_mentions:
+        cands = stopword_filter(cands)
     rel = relatedness_table(page_links, anchors, cfg)
     return resolve_senses(cands, rel, cfg)

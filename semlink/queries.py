@@ -1059,3 +1059,25 @@ def dedup_near_dup_clusters(spark, sf_dir):
         .select(ident("left_id").alias("src"), ident("right_id").alias("dst")))
     ckpt = tempfile.mkdtemp(prefix="semlink_nd_cc_")
     return run_connected_components(edges, SemlinkConfig(), ckpt_dir=ckpt)
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
+
+@q("rl_stopword_filter", f"""
+  WITH toks AS (SELECT DISTINCT doc_id, token FROM ({_TOK_SQL}))
+  SELECT CAST(doc_id AS VARCHAR) || ':' || token AS mention_id,
+         token AS ngram_norm
+  FROM toks WHERE token NOT IN ({_STOP_LIST})
+""")
+def rl_stopword_filter(spark, sf_dir):
+    """F4: bare-stopword mention keys are dropped (reference stopword
+    skip); multi-word keys containing stopwords survive."""
+    from .linking import stopword_filter
+    d = _docs(spark, sf_dir)
+    toks = (d.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), ""))
+        .alias("ngram_norm")).distinct()
+        .select(F.concat_ws(":", "doc_id", "ngram_norm").alias("mention_id"),
+                "ngram_norm"))
+    return stopword_filter(toks)
