@@ -81,6 +81,9 @@ def decode_media_header(payload: bytes) -> dict:
             while i + 9 < len(p):
                 if p[i] != 0xFF:
                     break
+                # 0xFF fill bytes are legal padding between markers
+                while i + 9 < len(p) and p[i + 1] == 0xFF:
+                    i += 1
                 marker = p[i + 1]
                 if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -88,10 +91,16 @@ def decode_media_header(payload: bytes) -> dict:
                     out.update(fmt="jpeg", width=w, height=h,
                                channels=p[i + 9])
                     break
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    # standalone markers (TEM, RSTn, EOI) carry no
+                    # length field — reading one from entropy bytes
+                    # would mis-skip (ADVICE r02)
+                    if marker == 0xD9:       # EOI: no SOF found
+                        break
+                    i += 2
+                    continue
                 seg_len = struct.unpack(">H", p[i + 2:i + 4])[0]
                 i += 2 + seg_len
-            else:
-                pass
         elif p[:4] == b"RIFF" and p[8:12] == b"WAVE" and len(p) >= 36:
             n_ch, rate = struct.unpack("<HI", p[22:28])
             bits = struct.unpack("<H", p[34:36])[0]

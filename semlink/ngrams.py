@@ -22,10 +22,18 @@ from .textnorm import normalize_expr, tokenize_expr
 
 def ngram_struct_expr(tokens_col: str, max_n: int,
                       norm_tokens_col: str | None = None,
-                      first_words: list[str] | None = None) -> Column:
+                      first_words: list[str] | None = None,
+                      with_gate_word: bool = False) -> Column:
     """Array<struct(span_start, span_len, ngram[, ngram_norm])> of all
     1..max_n grams. Guarded for empty token arrays (sequence(0,-1)
     would descend).
+
+    ``with_gate_word`` adds a ``gate_w`` field = first word of the
+    span's OWN leading normalized token ('' if that token normalizes
+    away) — the post-explode DataFrame gate joins on it so both
+    physical gate forms (InSet here, broadcast semi join downstream)
+    test the same value and emit identical mention sets even for
+    punctuation-only leading tokens (ADVICE r02).
 
     When ``norm_tokens_col`` is given, the blocking key ngram_norm is
     assembled by joining PRE-NORMALIZED tokens — the expensive
@@ -44,6 +52,10 @@ def ngram_struct_expr(tokens_col: str, max_n: int,
                    f" x -> x != ''), ' ') AS ngram_norm")
         typ = ("array<struct<span_start:int,span_len:int,ngram:string,"
                "ngram_norm:string>>")
+        if with_gate_word:
+            fields += f", split({norm_tokens_col}[i], ' ')[0] AS gate_w"
+            typ = ("array<struct<span_start:int,span_len:int,ngram:string,"
+                   "ngram_norm:string,gate_w:string>>")
 
     positions = f"sequence(0, size({tokens_col}) - 1)"
     if first_words is not None:
@@ -113,11 +125,14 @@ def explode_mentions_hof(
         tokenize_expr(F.col(text_col)).alias("_toks"),
     ).withColumn("_ntoks", F.transform(F.col("_toks"),
                                        lambda t: normalize_expr(t)))
+    extra = [F.col("g.gate_w").alias("_gate_w")] if fw_df is not None else []
     m = (
         toks.select(
             *key_cols, *carry_cols,
             F.explode(ngram_struct_expr("_toks", max_n, "_ntoks",
-                                        fw_list)).alias("g"),
+                                        fw_list,
+                                        with_gate_word=fw_df is not None))
+            .alias("g"),
         )
         .select(
             *key_cols, *carry_cols,
@@ -125,17 +140,20 @@ def explode_mentions_hof(
             F.col("g.span_len").alias("span_len"),
             F.col("g.ngram").alias("ngram"),
             F.col("g.ngram_norm").alias("ngram_norm"),
+            *extra,
         )
     )
     if not keep_empty_norm:
         m = m.filter(F.col("ngram_norm") != "")
     if fw_df is not None:
         # streaming path gates post-explode (stream-static broadcast
-        # semi join on the mention's first normalized word)
+        # semi join) on the span's OWN leading normalized token — the
+        # same value the InSet form gates on, so the two physical forms
+        # emit identical mention sets ('' never matches; ADVICE r02)
         g = fw_df.select(F.col(fw_df.columns[0]).alias("_fw")).distinct()
-        m = m.join(F.broadcast(g),
-                   F.split(F.col("ngram_norm"), " ").getItem(0)
-                   == F.col("_fw"), "left_semi")
+        m = (m.join(F.broadcast(g), F.col("_gate_w") == F.col("_fw"),
+                    "left_semi")
+             .drop("_gate_w"))
     id_parts = [F.col(c).cast("string") for c in key_cols] + [
         F.col("span_start").cast("string"),
         F.col("span_len").cast("string"),

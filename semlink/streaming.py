@@ -24,14 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import DEFAULT, SemlinkConfig
-from .linking import candidate_join
-from .ngrams import explode_mentions_hof
-from .textnorm import clean_expr
+from .linking import candidate_join, generate_mentions
 
 
 def stream_candidates(transcript_stream: DataFrame, anchors: DataFrame,
                       cfg: SemlinkConfig = DEFAULT,
-                      watermark: str = "10 minutes") -> DataFrame:
+                      watermark: str = "10 minutes",
+                      first_words=None) -> DataFrame:
     """Stateless linking over a streaming transcripts DataFrame.
 
     Returns a streaming DataFrame of candidate links; attach a sink:
@@ -46,13 +45,16 @@ def stream_candidates(transcript_stream: DataFrame, anchors: DataFrame,
     downstream stateful op and no stream-stream self-join is needed
     (round 1 re-joined mentions with the stream to recover ts — twice
     the source reads, and the join muddied late-row accounting).
+
+    Mention generation is the SAME generate_mentions the batch path
+    uses (streaming=True, ts carried) — cfg.unicode_normalize and the
+    first-word gate behave identically in both engines (round 2 called
+    explode_mentions_hof directly and silently dropped the unicode
+    re-derivation: CJK corpora streamed zero candidates — ADVICE r02).
     """
     t = transcript_stream.withWatermark("ts", watermark)
-    cleaned = t.select("conv_id", "turn_idx", "ts",
-                       clean_expr(F.col("text")).alias("text"))
-    mentions = explode_mentions_hof(
-        cleaned, text_col="text", key_cols=("conv_id", "turn_idx"),
-        max_n=cfg.max_ngram_len, carry_cols=("ts",))
+    mentions = generate_mentions(t, cfg, first_words=first_words,
+                                 streaming=True, carry_cols=("ts",))
     return candidate_join(mentions, anchors, cfg)
 
 

@@ -136,3 +136,22 @@ def test_lsh_s_curve_parameterization(spark):
     assert lo_a <= 0.30, f"loose LSH captured low-J pairs: {lo_a}"
     assert hi_b <= hi_a - 0.2, f"tight LSH should capture fewer: {hi_b} vs {hi_a}"
     assert lo_b <= 0.10, f"tight LSH captured low-J pairs: {lo_b}"
+
+
+def test_decode_jpeg_standalone_markers_and_fill_bytes():
+    """ADVICE r02: restart markers / TEM carry no length field and 0xFF
+    fill bytes are legal padding — a SOF after them must still decode;
+    EOI before any SOF ends the scan as unknown."""
+    import struct
+    from semlink.datapipe.multimodal import decode_media_header
+
+    sof = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9)
+    # TEM + RST1 (standalone) + fill byte before the SOF marker
+    jpeg = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd1" + b"\xff" + sof
+    assert decode_media_header(jpeg) == {
+        "fmt": "jpeg", "width": 640, "height": 480, "channels": 3}
+
+    # EOI before any SOF: scan stops cleanly, no bogus length read
+    eoi_first = b"\xff\xd8" + b"\xff\xd9" + sof
+    assert decode_media_header(eoi_first)["fmt"] == "unknown"

@@ -83,3 +83,26 @@ def test_anchor_first_words_switches_to_dataframe(spark):
     big = anchor_first_words(anchors, max_set_size=10)
     assert isinstance(big, _DF)
     assert {r.w for r in big.collect()} == {f"anchor{i}" for i in range(50)}
+
+def test_hof_gate_forms_agree_on_empty_norm_leading_tokens(spark):
+    """ADVICE r02: the HOF DataFrame gate must test the span's OWN
+    leading normalized token (like the InSet form), so spans whose
+    leading token normalizes to '' — punctuation-only tokens — are
+    gated identically by both physical forms."""
+    from semlink.ngrams import explode_mentions_hof
+
+    rows = [("c1", 0, "-- alpha beta"),       # '--' normalizes to ''
+            ("c2", 0, "alpha !! gamma"),
+            ("c3", 0, "?? ,, alpha")]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    fw = ["alpha", "gamma"]
+    fw_df = spark.createDataFrame([(w,) for w in fw], "w string")
+
+    a = explode_mentions_hof(t, first_words=fw)
+    b = explode_mentions_hof(t, first_words=fw_df)
+    cols = ["mention_id", "ngram", "ngram_norm"]
+    sa = {tuple(r) for r in a.select(cols).collect()}
+    sb = {tuple(r) for r in b.select(cols).collect()}
+    assert sa == sb and len(sa) > 0
+    # a span led by a punctuation-only token is gated OUT by both forms
+    assert not any(r[1].startswith("--") for r in sa)

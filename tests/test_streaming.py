@@ -158,3 +158,45 @@ def test_foreach_batch_append_sink(spark, fx_tiny_dfs, tmp_path):
     expected = sorted((r.mention_id, r.target_id) for r in
                       batch.select("mention_id", "target_id").collect())
     assert got == expected
+
+
+def test_stream_candidates_unicode_cjk(spark, tmp_path):
+    """ADVICE r02: cfg.unicode_normalize must work through
+    stream_candidates (not only generate_mentions) — CJK corpora stream
+    real candidates, and the first-word gate is applied AFTER the
+    unicode re-derivation so it matches CJK keys."""
+    import datetime
+
+    from semlink.config import SemlinkConfig
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [("cj", i, "user", "東京 タワー は 高い", "",
+             t0 + datetime.timedelta(minutes=i)) for i in range(3)]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    t = spark.createDataFrame(rows, schema)
+    anchors = spark.createDataFrame(
+        [("東京", 1, "東京", 5, 5, 6), ("東京 タワー", 2, "東京タワー", 3, 3, 4)],
+        "anchor_norm string, target_id long, target_title string, "
+        "sense_link_count long, anchor_link_total long, anchor_text_total long")
+    cfg = SemlinkConfig(unicode_normalize=True, max_ngram_len=2)
+
+    src = str(tmp_path / "cjk_src")
+    t.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(t.schema).parquet(src)
+    out = stream_candidates(stream, anchors, cfg,
+                            first_words=["東京"])
+    q = (out.select("mention_id", "target_id", "ts").writeStream
+         .format("memory").queryName("cjk_t")
+         .option("checkpointLocation", str(tmp_path / "cjk_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.mention_id, r.target_id)
+           for r in spark.sql("select * from cjk_t").collect()}
+
+    batch = candidate_join(
+        generate_mentions(t, cfg, first_words=["東京"]), anchors, cfg)
+    expected = {(r.mention_id, r.target_id)
+                for r in batch.select("mention_id", "target_id").collect()}
+    assert got == expected and len(got) > 0
+    assert {tid for _, tid in got} == {1, 2}

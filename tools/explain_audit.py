@@ -100,7 +100,7 @@ def main():
     nodes = t.select(F2.concat_ws(
         ":", "conv_id", F2.col("turn_idx").cast("string"))
         .alias("mention_id")).distinct()
-    p5 = formatted(_dense_rank_ids(nodes, num_parts=8))
+    p5 = formatted(_dense_rank_ids(nodes, num_parts=8, materialize=False))
     sections["CC node-id encode (two-phase rank)"] = p5
     checks.append(("node-id rank has no SinglePartition exchange",
                    "SinglePartition" not in p5))
@@ -113,6 +113,23 @@ def main():
     sections["MW relatedness (X6)"] = p6
     checks.append(("relatedness fan-out cap applied (LeftSemi before join)",
                    "LeftSemi" in p6))
+
+    # 6b. sense resolution must NOT hint-broadcast the relatedness table
+    # (unbounded at Wikipedia scale — VERDICT r02 wrong #1). The hint
+    # would survive into the optimized logical plan as ResolvedHint /
+    # UnresolvedHint regardless of data size, so its absence is checkable
+    # at fixture scale even though AQE legitimately picks a runtime
+    # broadcast for the tiny fixture join.
+    from semlink.linking import resolve_senses, candidate_join as _cj
+    cands_x6 = _cj(generate_mentions(t), anchors)
+    rs = resolve_senses(cands_x6, relatedness_table(fx["page_links"], anchors))
+    lp = rs._jdf.queryExecution().optimizedPlan().toString()
+    sections["sense resolution (X6) optimized logical plan"] = lp
+    checks.append(("X6 joins carry no broadcast hint on rel/n_senses",
+                   "ResolvedHint" not in lp and "UnresolvedHint" not in lp
+                   and "hints=[broadcast]" not in lp))
+    checks.append(("X6 pre-filters rel to candidate entities (semi join)",
+                   lp.count("LeftSemi") >= 2))
 
     # 7. large-dictionary first-word gate is a broadcast semi join
     fw_df = anchors.select(
