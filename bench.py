@@ -43,9 +43,15 @@ HEADLINE = [
     "dedup_minhash_signatures", "dedup_lsh_pairs", "dedup_simhash",
     "dedup_near_dup_clusters",
     "ann_brute_force_topk", "ann_ivf_cell_topk",
+    "ann_kmeans_centroids", "ann_ivf_near_dup_edges",
     "text_quality_score", "text_fingerprints", "media_features",
     "agg_pricing_summary",
 ]
+
+# headline entries that did not exist in the previous round's bench —
+# recorded in the output JSON so round-over-round totals are compared
+# on the shared list, not the grown one (VERDICT r02 next #7)
+NEW_QUERIES = ["ann_kmeans_centroids", "ann_ivf_near_dup_edges"]
 
 
 def ensure_bench_fixture(spark) -> str:
@@ -154,6 +160,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
         "cpus": cpus,
+        "new_queries": [q for q in NEW_QUERIES if q in times],
         "pipeline_turns": n_turns,
         "pipeline_clusters": n_clusters,
         "pipeline_turns_per_sec": round(n_turns / dt, 1),

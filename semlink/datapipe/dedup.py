@@ -49,7 +49,12 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 
 def shingle_set(text_col: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles of a document."""
+    """Distinct n-token shingles of a document, as an array column.
+
+    HOF-lambda form — kept for oracle/SQL parity and array-shaped
+    callers; the hot path is :func:`shingles_exploded` (lambda
+    evaluation serializes across task threads — BENCH/BASELINE.md §2).
+    """
     toks = _tokens(text_col)
     sz = F.size(toks)
     sh = F.when(
@@ -60,26 +65,72 @@ def shingle_set(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def shingles_exploded(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, s): every n-token shingle, one row per OCCURRENCE.
+
+    Lambda-free: posexplode + window lead (the mention n-gram
+    generator's measured-scalable shape), so shingling runs in
+    whole-stage codegen instead of on the thread-serialized HOF lambda
+    interpreter. Not deduped — min-hash is duplicate-insensitive;
+    Jaccard callers apply .distinct().
+
+    Parity with :func:`shingle_set`: docs with fewer than n tokens emit
+    their whole-doc join; zero-token docs emit a single '' shingle.
+    """
+    from pyspark.sql import Window
+    d = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
+    rows = d.select(id_col, F.size("_t").alias("_n"),
+                    F.posexplode("_t").alias("_pos", "_w0"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    words = [F.col("_w0")]
+    for j in range(1, n):
+        rows = rows.withColumn(f"_w{j}", F.lead("_w0", j).over(w))
+        words.append(F.col(f"_w{j}"))
+    keep = ((F.col("_pos") + n <= F.col("_n"))
+            | ((F.col("_n") < n) & (F.col("_pos") == 0)))
+    sh = rows.filter(keep).select(
+        F.col(id_col), F.concat_ws(" ", *words).alias("s"))
+    empty = d.filter(F.size("_t") == 0).select(
+        F.col(id_col), F.lit("").alias("s"))
+    return sh.unionByName(empty)
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        k: int = MINHASH_K,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       impl: str = "exploded") -> DataFrame:
     """(id, mh_0..mh_{k-1}): min over shingles of md5(i:shingle).
 
-    Pure SQL; the per-permutation "hash" is the lexicographic min of a
-    salted md5 — portable and uniform. One scan, no shuffle.
+    The per-permutation "hash" is the lexicographic min of a salted
+    md5 — portable (identical in DuckDB), seedless, deterministic.
+
+    Default impl='exploded': shingle rows through the codegen explode,
+    then ONE groupBy(id) with k partial-min aggregates — map-side
+    combined, so the single shuffle moves one row per (doc, partition).
+    Duplicate shingles don't need deduping first (min is
+    duplicate-insensitive). impl='hof' is the round-2 no-shuffle array
+    form whose transform lambdas serialize across task threads (kept
+    for the scaling comparison; tools/datapipe_scaling.py measures
+    both).
     """
-    d = df.select(F.col(id_col),
-                  shingle_set(F.col(text_col), shingle_n).alias("sh"))
+    if impl == "hof":
+        d = df.select(F.col(id_col),
+                      shingle_set(F.col(text_col), shingle_n).alias("sh"))
 
-    def mh(i: int):
-        # NB: the transform lambda must be unary — PySpark passes the
-        # element index as a second argument if the lambda accepts one
-        return F.array_min(F.transform(
-            F.col("sh"),
-            lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))))
+        def mh(i: int):
+            # NB: the transform lambda must be unary — PySpark passes
+            # the element index as a second arg if the lambda takes one
+            return F.array_min(F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))))
 
-    return d.withColumns({f"mh_{i}": mh(i) for i in range(k)}).drop("sh")
+        return d.withColumns({f"mh_{i}": mh(i) for i in range(k)}).drop("sh")
+    sh = shingles_exploded(df, id_col, text_col, shingle_n)
+    return sh.groupBy(id_col).agg(
+        *[F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s"))))
+          .alias(f"mh_{i}") for i in range(k)])
 
 
 def lsh_buckets(sigs: DataFrame, id_col: str = "doc_id",
@@ -122,11 +173,12 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (the verify step after
-    LSH). Explode + join on shingle, then |∩| / (|A|+|B|-|∩|)."""
-    sh = df.select(F.col(id_col).alias("_id"),
-                   shingle_set(F.col(text_col), n).alias("sh"))
-    sizes = sh.select("_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("_id", F.explode("sh").alias("s"))
+    LSH). Lambda-free exploded shingles (distinct per doc) + join on
+    shingle, then |∩| / (|A|+|B|-|∩|)."""
+    sh = (shingles_exploded(df, id_col, text_col, n)
+          .withColumnRenamed(id_col, "_id").distinct())
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex = sh
     inter = (pairs
              .join(ex.withColumnRenamed("_id", "left_id"), "left_id")
              .join(ex.withColumnRenamed("_id", "right_id")

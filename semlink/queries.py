@@ -807,10 +807,18 @@ _RD_NORM_TITLE = NORMALIZE_DUCKDB_SQL.format(col="title")
   atot AS (SELECT anchor_norm, CAST(count(*) AS BIGINT) AS anchor_link_total
            FROM links GROUP BY 1),
   ttot AS (SELECT anchor_norm, CAST(count(*) AS BIGINT) AS anchor_text_total
-           FROM normed GROUP BY 1)
+           FROM normed GROUP BY 1),
+  titles AS (SELECT target_id, {_RD_NORM_TITLE} AS title_norm FROM pages),
+  rd_flags AS (SELECT DISTINCT rd_norm AS anchor_norm, canon_id AS target_id
+               FROM redirects JOIN canon ON rd_norm = canon_norm)
   SELECT s.anchor_norm, s.target_id, s.sense_link_count,
-         a.anchor_link_total, t.anchor_text_total
+         a.anchor_link_total, t.anchor_text_total,
+         s.anchor_norm = ti.title_norm AS from_title,
+         rf.target_id IS NOT NULL AS from_redirect
   FROM sense s JOIN atot a USING (anchor_norm) JOIN ttot t USING (anchor_norm)
+  LEFT JOIN titles ti ON ti.target_id = s.target_id
+  LEFT JOIN rd_flags rf
+    ON rf.anchor_norm = s.anchor_norm AND rf.target_id = s.target_id
 """)
 def rl_redirect_dictionary(spark, sf_dir):
     """A1-A3 + A7: the full dictionary build (normalize → redirect
@@ -838,13 +846,16 @@ def rl_redirect_dictionary(spark, sf_dir):
             F.col("p_partkey").alias("target_id"),
             F.lit(False).alias("is_link")))
     d = build_anchor_dictionary(raw, pages)
+    # A8 flags selected into the hash-gated output (VERDICT r02 next #4:
+    # a from_title / from_redirect regression must fail CORRECTNESS)
     return d.select("anchor_norm", "target_id",
                     F.col("sense_link_count").cast("bigint")
                     .alias("sense_link_count"),
                     F.col("anchor_link_total").cast("bigint")
                     .alias("anchor_link_total"),
                     F.col("anchor_text_total").cast("bigint")
-                    .alias("anchor_text_total"))
+                    .alias("anchor_text_total"),
+                    "from_title", "from_redirect")
 
 
 @q("rl_relatedness_mw", f"""
@@ -1081,3 +1092,348 @@ def rl_stopword_filter(spark, sf_dir):
         .select(F.concat_ws(":", "doc_id", "ngram_norm").alias("mention_id"),
                 "ngram_norm"))
     return stopword_filter(toks)
+
+
+# =====================================================================
+# Round-3 coverage tail (VERDICT r02 next #4/#5/#6): S1 CSV load, A9
+# page degree, J4/X5 page-feature join, X1/X7/T5 feature assembly, M2
+# deterministic fit, full ANN index path (k-means + IVF near-dup
+# edges), streaming session windows
+# =====================================================================
+
+@q("src_csv_load", """
+  SELECT n_regionkey AS target_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_nationkey) AS BIGINT) AS doc_id_sum,
+         CAST(sum(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_links
+  FROM nation GROUP BY 1
+""")
+def src_csv_load(spark, sf_dir):
+    """S1: the Wikipedia-Miner-style CSV dump load (typed schema,
+    header, FAILFAST — sources.read_raw_links_csv) round-tripped
+    through a real CSV file; the oracle recomputes the aggregate from
+    the source table, so a type-coercion or parse bug fails the hash."""
+    import tempfile
+    from .sources import read_raw_links_csv
+    n = _read(spark, sf_dir, "nation")
+    raw = n.select(F.col("n_nationkey").cast("long").alias("doc_id"),
+                   F.col("n_name").alias("anchor"),
+                   F.col("n_regionkey").cast("long").alias("target_id"),
+                   (F.col("n_nationkey") % 2 == 0).alias("is_link"))
+    d = tempfile.mkdtemp(prefix="semlink_csv_")
+    raw.write.mode("overwrite").option("header", True).csv(d)
+    back = read_raw_links_csv(spark, d)
+    return back.groupBy("target_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("doc_id_sum"),
+        F.sum(F.col("is_link").cast("long")).alias("n_links"))
+
+
+_PAGE_GRAPH_SQL = """
+  pl AS (SELECT l_orderkey % 500 AS src_id, l_partkey % 500 AS dst_id
+         FROM lineitem),
+  ids AS (SELECT src_id AS id FROM pl UNION SELECT dst_id FROM pl),
+  pages AS (SELECT id AS target_id, 'p' || CAST(id AS VARCHAR) AS title,
+                   id % 10 = 0 AS is_redirect
+            FROM ids),
+  inc AS (SELECT dst_id AS target_id, CAST(count(*) AS BIGINT) AS c
+          FROM pl GROUP BY 1),
+  outc AS (SELECT src_id AS target_id, CAST(count(*) AS BIGINT) AS c
+           FROM pl GROUP BY 1),
+  pagestats AS (
+    SELECT p.target_id, p.title, p.is_redirect,
+           COALESCE(i.c, 0) AS inlink_count,
+           COALESCE(o.c, 0) AS outlink_count
+    FROM pages p
+    LEFT JOIN inc i USING (target_id)
+    LEFT JOIN outc o USING (target_id))
+"""
+
+
+def _spark_page_graph(spark, sf_dir):
+    l = _read(spark, sf_dir, "lineitem")
+    pl = l.select((F.col("l_orderkey") % 500).alias("src_id"),
+                  (F.col("l_partkey") % 500).alias("dst_id"))
+    ids = (pl.select(F.col("src_id").alias("id"))
+           .union(pl.select(F.col("dst_id").alias("id"))).distinct())
+    pages = ids.select(
+        F.col("id").alias("target_id"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("title"),
+        (F.col("id") % 10 == 0).alias("is_redirect"))
+    return pl, pages
+
+
+@q("rl_page_degree", f"""
+  WITH {_PAGE_GRAPH_SQL}
+  SELECT target_id, title, is_redirect, inlink_count, outlink_count
+  FROM pagestats
+""")
+def rl_page_degree(spark, sf_dir):
+    """A9: build_page_stats in/out-degree over a synthetic page-link
+    graph (orders → part buckets folded into one 500-page id space)."""
+    from .dictionary import build_page_stats
+    pl, pages = _spark_page_graph(spark, sf_dir)
+    s = build_page_stats(pl, pages)
+    return s.select("target_id", "title", "is_redirect",
+                    F.col("inlink_count").cast("bigint").alias("inlink_count"),
+                    F.col("outlink_count").cast("bigint").alias("outlink_count"))
+
+
+@q("rl_page_features", f"""
+  WITH {_PAGE_GRAPH_SQL},
+  cands AS (SELECT 'm:' || CAST(p_partkey AS VARCHAR) AS mention_id,
+                   p_partkey % 500 AS target_id
+            FROM part)
+  SELECT c.mention_id, c.target_id,
+         ps.inlink_count AS f_inlinks,
+         ps.outlink_count AS f_outlinks,
+         ps.is_redirect AS f_is_redirect
+  FROM cands c LEFT JOIN pagestats ps USING (target_id)
+""")
+def rl_page_features(spark, sf_dir):
+    """J4 + X5: attach_page_features broadcast left join carrying
+    article features (degree stats, redirect flag) onto candidates."""
+    from .dictionary import build_page_stats
+    from .linking import attach_page_features
+    pl, pages = _spark_page_graph(spark, sf_dir)
+    stats = build_page_stats(pl, pages)
+    p = _read(spark, sf_dir, "part")
+    cands = p.select(
+        F.concat_ws(":", F.lit("m"), F.col("p_partkey").cast("string"))
+        .alias("mention_id"),
+        (F.col("p_partkey") % 500).alias("target_id"))
+    out = attach_page_features(cands, stats)
+    return out.select("mention_id", "target_id",
+                      F.col("f_inlinks").cast("bigint").alias("f_inlinks"),
+                      F.col("f_outlinks").cast("bigint").alias("f_outlinks"),
+                      "f_is_redirect")
+
+
+_INITCAP_DUCK = """
+  array_to_string(list_transform(string_split(p_name, ' '),
+    w -> CASE WHEN length(w) = 0 THEN w
+              ELSE upper(w[1]) || lower(w[2:]) END), ' ')
+"""
+
+@q("ml_feature_assembly", f"""
+  SELECT p_partkey,
+         CAST(len(string_split(p_name, ' ')) AS BIGINT) AS f_len_words,
+         CAST(length(p_name) AS BIGINT) AS f_len_chars,
+         CAST(CASE WHEN p_name = ({_INITCAP_DUCK}) THEN 1 ELSE 0 END
+              AS BIGINT) AS f_is_initcap,
+         CAST(CASE WHEN p_name = lower(p_name) THEN 1 ELSE 0 END
+              AS BIGINT) AS f_is_lower,
+         CAST(ROUND(p_retailprice / 2000.0 * {SCALE}) AS BIGINT) AS feat0_6,
+         CAST(ROUND(CAST(p_size AS DOUBLE) / 50.0 * {SCALE}) AS BIGINT)
+           AS feat1_6,
+         CAST(ROUND(p_retailprice / 4000.0 * {SCALE}) AS BIGINT) AS feat2_6,
+         CAST(len(string_split(p_name, ' ')) AS BIGINT) * {SCALE} AS feat3_6,
+         CAST(length(p_name) AS BIGINT) * {SCALE} AS feat4_6,
+         CAST(CASE WHEN p_name = ({_INITCAP_DUCK}) THEN 1 ELSE 0 END
+              AS BIGINT) * {SCALE} AS feat5_6,
+         CAST(CASE WHEN p_name = lower(p_name) THEN 1 ELSE 0 END
+              AS BIGINT) * {SCALE} AS feat6_6,
+         CAST(0 AS BIGINT) AS feat7_6
+  FROM part
+""")
+def ml_feature_assembly(spark, sf_dir):
+    """X1 + X7 + T5: n-gram shape/casing features and the FIXED-ORDER
+    feature vector (learning.FEATURE_COLS) — the oracle recomputes
+    every array element independently, so a reordering or a broken
+    casing expression fails the hash."""
+    from .learning import assemble_features
+    p = _read(spark, sf_dir, "part")
+    cands = p.select(
+        "p_partkey",
+        F.col("p_name").alias("ngram"),
+        (F.col("p_retailprice") / 2000.0).alias("prior_prob"),
+        (F.col("p_size").cast("double") / 50.0).alias("link_prob"),
+        (F.col("p_retailprice") / 4000.0).alias("sense_prob"))
+    d = assemble_features(cands)
+    return d.select(
+        "p_partkey",
+        F.col("f_len_words").cast("bigint").alias("f_len_words"),
+        F.col("f_len_chars").cast("bigint").alias("f_len_chars"),
+        F.col("f_is_initcap").cast("bigint").alias("f_is_initcap"),
+        F.col("f_is_lower").cast("bigint").alias("f_is_lower"),
+        *[_r6(F.element_at("features", i + 1)).alias(f"feat{i}_6")
+          for i in range(8)])
+
+
+_KM_K = 4
+
+def _km_seeds_sql(k: int) -> str:
+    return f"""
+  c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           CAST(embedding AS DOUBLE[]) AS c_emb
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {k}))"""
+
+
+def _km_iter_sql(i: int, prev: str) -> str:
+    """One Lloyd iteration as CTEs: argmax-cosine assignment against
+    {prev}, then the scaled-bigint-deterministic centroid update (empty
+    cells keep their previous centroid) — the exact arithmetic of
+    simsearch.kmeans_centroids."""
+    cos = _cos_sql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
+    return f"""
+  asg{i} AS (
+    SELECT vec_id, embedding, cell FROM (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               CAST(ROUND(({cos}) * {SCALE}) AS BIGINT) DESC, c.cell) AS crk
+      FROM embeddings e CROSS JOIN {prev} c) WHERE crk = 1),
+  upd{i} AS (
+    SELECT cell, list(m ORDER BY pos) AS c_emb FROM (
+      SELECT cell, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS m FROM (
+        SELECT a.cell, u.pos,
+               CAST(sum(CAST(ROUND(u.x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM asg{i} a, LATERAL (
+          SELECT unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(a.embedding, 1) AS pos) u
+        GROUP BY 1, 2)) GROUP BY cell),
+  c{i + 1} AS (SELECT p.cell, COALESCE(u.c_emb, p.c_emb) AS c_emb
+               FROM {prev} p LEFT JOIN upd{i} u USING (cell))"""
+
+
+@q("ann_kmeans_centroids", f"""
+  WITH {_km_seeds_sql(_KM_K)},
+  {_km_iter_sql(0, 'c0')},
+  {_km_iter_sql(1, 'c1')}
+  SELECT cell, CAST(u.pos AS BIGINT) - 1 AS pos,
+         CAST(ROUND(u.m * {SCALE}) AS BIGINT) AS m6
+  FROM c2, LATERAL (SELECT unnest(c_emb) AS m,
+                           generate_subscripts(c_emb, 1) AS pos) u
+""")
+def ann_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd k-means (the IVF coarse quantizer), fully
+    oracle-verified: DuckDB re-runs both iterations — deterministic
+    seed centroids, argmax-cosine assignment, scaled-bigint centroid
+    averaging, empty-cell carry-over — element by element."""
+    e = _read(spark, sf_dir, "embeddings")
+    c = ss.kmeans_centroids(e, k=_KM_K, iters=2)
+    return (c.select("cell", F.posexplode("c_emb").alias("pos", "m"))
+            .select("cell", F.col("pos").cast("bigint").alias("pos"),
+                    _r6(F.col("m")).alias("m6")))
+
+
+_ND_THR6 = 990_000
+
+@q("ann_ivf_near_dup_edges", f"""
+  WITH aug AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05 + 0.01)
+    FROM embeddings WHERE vec_id < 100),
+  seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           embedding AS c_emb
+    FROM (SELECT vec_id, embedding FROM aug ORDER BY vec_id LIMIT {_IVF_K})),
+  csims AS (
+    SELECT e.vec_id, s.cell,
+           CAST(ROUND(({_cos_sql('e.embedding', 's.c_emb')})
+                * {SCALE}) AS BIGINT) AS csim6
+    FROM aug e CROSS JOIN seeds s),
+  asg AS (
+    SELECT vec_id, cell FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim6 DESC, cell) AS crk
+      FROM csims) WHERE crk <= 2),
+  pairs AS (
+    SELECT DISTINCT q.vec_id AS src, c.vec_id AS dst
+    FROM asg q JOIN asg c ON q.cell = c.cell AND q.vec_id < c.vec_id),
+  sims AS (
+    SELECT p.src, p.dst,
+           CAST(ROUND(({_cos_sql('e1.embedding', 'e2.embedding')})
+                * {SCALE}) AS BIGINT) AS sim6
+    FROM pairs p
+    JOIN aug e1 ON e1.vec_id = p.src
+    JOIN aug e2 ON e2.vec_id = p.dst)
+  SELECT src, dst, sim6 FROM sims WHERE sim6 >= {_ND_THR6}
+""")
+def ann_ivf_near_dup_edges(spark, sf_dir):
+    """The production cell-routed near-dup edge builder
+    (cosine_near_dup_edges_ivf: Σ|cell|² work, nprobe=2, scaled-bigint
+    threshold). The corpus is augmented with 100 deterministic
+    perturbed twins (x → 1.05x + 0.01, cosine ≈ 0.9997) so the planted
+    near-dup set is non-trivial; the oracle re-derives the probe sets,
+    the candidate-pair dedup, and every surviving edge — the IVF
+    routing must recover every planted twin through a shared cell."""
+    e = _read(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    twins = (e.filter(F.col("vec_id") < 100)
+             .select((F.col("vec_id") + 100_000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: x.cast("double") * 1.05 + 0.01)
+                     .alias("embedding")))
+    aug = base.unionByName(twins)
+    cents = ss.seed_centroids(aug, k=_IVF_K)
+    return ss.cosine_near_dup_edges_ivf(
+        aug, cents, threshold=_ND_THR6 / SCALE, nprobe=2)
+
+
+@q("stream_session_windows", None)   # rows-only: streaming engine
+def stream_session_windows(spark, sf_dir):
+    """§2.10: session-windowed per-conversation candidate counts
+    (windowed_mention_counts) via availableNow micro-batches — the
+    streaming analogue of the reference's rolling `context`.
+    Deterministic window bounds on the fixture; engine-specific
+    execution — rows-only by design (VERDICT r02 next #6)."""
+    import tempfile
+    from semlink.fixtures import generate, to_spark
+    from semlink.streaming import windowed_mention_counts
+    d = to_spark(spark, generate("tiny"))
+    src = tempfile.mkdtemp(prefix="semlink_q_swin_src_")
+    ckpt = tempfile.mkdtemp(prefix="semlink_q_swin_ckpt_")
+    d["transcripts"].coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(d["transcripts"].schema).parquet(src)
+    out = windowed_mention_counts(stream, d["anchors"], gap="30 minutes")
+    qy = (out.select("conv_id", F.col("w.start").alias("w_start"),
+                     F.col("w.end").alias("w_end"),
+                     "n_candidates", "n_entities")
+          .writeStream.format("memory").queryName("q_swin")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(180)
+    return spark.sql("SELECT * FROM q_swin")
+
+
+@q("ml_logistic_fit", """
+  SELECT * FROM (VALUES
+    ('w0',   CAST(7430767 AS BIGINT)),
+    ('w1',   CAST(-3387240 AS BIGINT)),
+    ('w2',   CAST(1131348 AS BIGINT)),
+    ('bias', CAST(-2330039 AS BIGINT))) AS t(param, value6)
+""")
+def ml_logistic_fit(spark, sf_dir):
+    """M2: the deterministic driver-side logistic fit on a fixed
+    synthetic labeled sample (Spark generates + collects the sample;
+    fit_logistic runs 500 fixed gradient steps). The oracle is the
+    pinned golden weight vector — bit-deterministic because sample
+    generation and the fit are pure IEEE double arithmetic in a fixed
+    order. A regression in feature extraction, collect order, or the
+    optimizer changes the weights and fails the hash."""
+    import numpy as np
+    from .learning import fit_logistic
+    d = (spark.range(200).select(
+        "id",
+        (((F.col("id") * 7) % 32 + 1) / 32.0).alias("x0"),
+        (((F.col("id") * 13) % 97) / 97.0).alias("x1"),
+        (((F.col("id") * 29) % 53) / 53.0).alias("x2"))
+        .withColumn("y", ((2.0 * F.col("x0") - F.col("x1")
+                           + 0.5 * F.col("x2")) > 0.7).cast("double"))
+        .orderBy("id"))
+    rows = d.collect()
+    X = np.array([[r.x0, r.x1, r.x2] for r in rows])
+    y = np.array([r.y for r in rows])
+    w, b = fit_logistic(X, y)
+    out = [("w0", int(round(w[0] * SCALE))),
+           ("w1", int(round(w[1] * SCALE))),
+           ("w2", int(round(w[2] * SCALE))),
+           ("bias", int(round(b * SCALE)))]
+    return spark.createDataFrame(out, "param string, value6 long")
