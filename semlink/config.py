@@ -58,6 +58,11 @@ class SemlinkConfig:
     broadcast_dictionary: bool = True
     salt_buckets: int = 16                 # probe-side salt fan-out for hot keys
     hot_key_min_count: int = 100_000       # probe rows above this make a key "hot"
+    # hint-broadcast the (candidate-entity-reduced) relatedness table +
+    # n_senses in sense resolution. True = measured default (−40 s e2e
+    # at 2.9M turns); False = AQE shuffle joins, for corpora whose
+    # reduced relatedness exceeds executor memory (linking.resolve_senses)
+    broadcast_context_tables: bool = True
 
     # --- clustering (SURVEY C2-C5) ---
     max_cc_iterations: int = 50

@@ -91,3 +91,42 @@ def with_fingerprints(df: DataFrame, text_col: str = "text",
         "fp_exact": F.md5(norm),
         "fp_min_shingle": F.array_min(shingles),
     })
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic corpus-keyword
+    extractor a training-data pipeline runs before filtering/labeling.
+
+    tf = term count within the doc; idf = ln(N / df_t) with df_t the
+    number of docs containing the term. Ranking and the emitted score
+    use the scaled-bigint convention (tfidf6) so ordering and values
+    are engine-exact; ties break on term ascending.
+
+    Scale shape: explode → groupBy(doc, term) (map-side combined) →
+    groupBy(term) for document frequency (one row per (doc, term)
+    entering, so count(*) IS the document frequency) → broadcast-style
+    1-row N cross join (lazy, like the MW n_pages count) → per-doc
+    window top-k. No collects, no skew keys beyond natural term
+    frequency (the tf aggregate combines before the shuffle).
+    """
+    from pyspark.sql import Window
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    nd = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (tf.join(dfq, "term")
+              .crossJoin(F.broadcast(nd))
+              .withColumn(
+                  "tfidf6",
+                  F.round(F.col("tf").cast("double")
+                          * F.log(F.col("n_docs") / F.col("df_t"))
+                          * 1_000_000).cast("bigint")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf6"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col(id_col), "term",
+                    F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df_t").cast("bigint").alias("df_t"),
+                    "tfidf6", "rk"))

@@ -1437,3 +1437,62 @@ def ml_logistic_fit(spark, sf_dir):
            ("w2", int(round(w[2] * SCALE))),
            ("bias", int(round(b * SCALE)))]
     return spark.createDataFrame(out, "param string, value6 long")
+
+
+@q("text_tfidf_top_terms", f"""
+  WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), ' +'),
+                                      x -> x <> '')) AS term
+    FROM documents),
+  tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM toks GROUP BY 1, 2),
+  dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+  nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+  scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df_t,
+           CAST(ROUND(CAST(t.tf AS DOUBLE) * ln(n / d.df_t) * {SCALE})
+                AS BIGINT) AS tfidf6
+    FROM tf t JOIN dfq d USING (term), nd)
+  SELECT doc_id, term, tf, df_t, tfidf6, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf6 DESC, term) AS rk
+    FROM scored)
+  WHERE rk <= 5
+""")
+def text_tfidf_top_terms(spark, sf_dir):
+    """Training-data keyword extraction: per-document top-5 terms by
+    TF-IDF (textstats.tfidf_top_terms), rank and score hash-gated."""
+    return ts.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+@q("stream_rolling_context", None)   # rows-only: stateful streaming engine
+def stream_rolling_context(spark, sf_dir):
+    """§2.10: the custom applyInPandasWithState rolling-context
+    operator (streaming.rolling_context) — bounded per-conversation
+    entity state, the reference's cross-request `context` parameter.
+    Deterministic on the fixture; state-store execution is
+    engine-specific — rows-only by design."""
+    import tempfile
+    from semlink.fixtures import generate, to_spark
+    from semlink.linking import candidate_join, generate_mentions
+    from semlink.streaming import rolling_context
+    d = to_spark(spark, generate("tiny"))
+    cands = (candidate_join(
+        generate_mentions(d["transcripts"]), d["anchors"])
+        .join(d["transcripts"].select("conv_id", "turn_idx", "ts"),
+              ["conv_id", "turn_idx"])
+        .select("conv_id", "target_id", "ts"))
+    src = tempfile.mkdtemp(prefix="semlink_q_rc_src_")
+    ckpt = tempfile.mkdtemp(prefix="semlink_q_rc_ckpt_")
+    cands.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(cands.schema).parquet(src)
+    out = rolling_context(stream, max_entities=16)
+    qy = (out.select("conv_id", "n_ctx",
+                     F.concat_ws(",", F.col("ctx_entities").cast("array<string>"))
+                     .alias("ctx"))
+          .writeStream.format("memory").queryName("q_rc")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(180)
+    return spark.sql("SELECT * FROM q_rc")

@@ -95,3 +95,56 @@ def candidates_append_sink(io, table: str = "stream_candidates"):
         io.write(batch_df.withColumn(
             "_batch_id", F.lit(batch_id).cast("long")), table, mode="append")
     return append
+
+
+def rolling_context(cand_stream: DataFrame,
+                    max_entities: int = 16) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): the
+    reference's rolling `context` request parameter — a per-conversation
+    set of recently-seen entities that future requests disambiguate
+    against — kept as bounded per-key state in the streaming engine.
+
+    State per conv_id: up to ``max_entities`` (entity, last_seen_epoch)
+    pairs; on every micro-batch the group's new candidates fold in
+    (vectorized pandas max-per-entity, no per-row Python), then the
+    least-recently-seen entities are evicted beyond the cap
+    (deterministic tie-break: older last_seen first, larger id first).
+    Emits one row per (conv_id, micro-batch) with the surviving context
+    set — downstream re-scoring joins against it exactly like the batch
+    path joins resolve_senses' ctx.
+
+    At scale: state is hash-partitioned by conv_id (Spark state store),
+    size-bounded per key, and the update is Arrow-batched — the same
+    no-per-row-Python discipline as the pair scorer.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, n_ctx int, ctx_entities array<bigint>"
+    state_schema = "entities array<bigint>, last_seen array<bigint>"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        ents = {}
+        if state.exists:
+            prev_e, prev_t = state.get
+            ents = dict(zip(prev_e, prev_t))
+        for pdf in pdfs:
+            ts_s = (pd.to_datetime(pdf["ts"]).astype("int64") // 10**9)
+            seen = (pd.DataFrame({"e": pdf["target_id"].astype("int64"),
+                                  "t": ts_s})
+                    .groupby("e")["t"].max())
+            for e, t in seen.items():        # ≤ distinct entities per batch
+                ents[int(e)] = max(ents.get(int(e), 0), int(t))
+        kept = sorted(ents.items(), key=lambda kv: (-kv[1], -kv[0]))
+        kept = kept[:max_entities]
+        state.update(([e for e, _ in kept], [t for _, t in kept]))
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "n_ctx": [len(kept)],
+            "ctx_entities": [sorted(e for e, _ in kept)],
+        })
+
+    return (cand_stream
+            .groupBy("conv_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

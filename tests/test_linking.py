@@ -105,3 +105,21 @@ def test_relatedness_hot_source_capped(spark):
         # n1 = n2 = 2 inlinks per entity, inter = 1:
         want = 1 - (math.log(2) - math.log(1)) / (math.log(n_pages) - math.log(2))
         assert abs(r.mw_rel - want) < 1e-9
+
+
+def test_resolve_senses_scale_mode_identical(spark, fx_tiny_dfs):
+    """broadcast_context_tables=False (the shuffle-join scale regime
+    with rel semi-joined to candidate entities) must resolve exactly
+    the same senses as the broadcast default."""
+    from semlink.config import SemlinkConfig
+    from semlink.linking import link_transcripts
+
+    d = fx_tiny_dfs
+    cols = ["mention_id", "target_id"]
+    a = {tuple(r) for r in link_transcripts(
+        d["transcripts"], d["anchors"], d["page_links"],
+        SemlinkConfig()).select(cols).collect()}
+    b = {tuple(r) for r in link_transcripts(
+        d["transcripts"], d["anchors"], d["page_links"],
+        SemlinkConfig(broadcast_context_tables=False)).select(cols).collect()}
+    assert a == b and len(a) > 0

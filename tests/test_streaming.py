@@ -200,3 +200,39 @@ def test_stream_candidates_unicode_cjk(spark, tmp_path):
                 for r in batch.select("mention_id", "target_id").collect()}
     assert got == expected and len(got) > 0
     assert {tid for _, tid in got} == {1, 2}
+
+
+def test_rolling_context_state_and_eviction(spark, tmp_path):
+    """applyInPandasWithState rolling context: per-conversation entity
+    state persists ACROSS micro-batches and evicts least-recently-seen
+    entities beyond the cap."""
+    import datetime
+
+    from semlink.streaming import rolling_context
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "conv_id string, target_id long, ts timestamp"
+    src = tmp_path / "rc_src"
+    b1 = [("cA", 1, t0), ("cA", 2, t0 + datetime.timedelta(minutes=1)),
+          ("cB", 7, t0)]
+    b2 = [("cA", 3, t0 + datetime.timedelta(minutes=2))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    import time as _t
+    _t.sleep(1.1)   # distinct file mtimes → deterministic batch order
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = rolling_context(stream, max_entities=2)
+    q = (out.writeStream.format("memory").queryName("rc_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "rc_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rc_t").collect()
+    # batch 1: cA={1,2}, cB={7}; batch 2: cA folds in 3, evicts 1 (oldest)
+    ca = [r for r in rows if r.conv_id == "cA"]
+    cb = [r for r in rows if r.conv_id == "cB"]
+    assert sorted(tuple(r.ctx_entities) for r in ca) == [(1, 2), (2, 3)]
+    assert len(cb) == 1 and list(cb[0].ctx_entities) == [7]
+    assert all(r.n_ctx == len(r.ctx_entities) for r in rows)

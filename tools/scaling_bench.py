@@ -33,9 +33,18 @@ def main():
     # is measured at a large replica count, pipeline only.
     replicas = os.environ.get("SEMLINK_SCALING_REPLICAS", "120")
     pipeline_only = replicas != os.environ.get("SEMLINK_BENCH_REPLICAS", "30")
-    # warm the fixture cache once (untimed within bench anyway)
-    r32 = run(32, replicas, pipeline_only)
-    r8 = run(8, replicas, pipeline_only)
+    # best-of-N per cell (SEMLINK_SCALING_RUNS, default 2): single runs
+    # on this host vary up to ±30% at 32 cores (measured round 3:
+    # 97.8 / 119.4 / 133.2 s for the identical ×120 cell); min is the
+    # standard noise-robust wall-time estimator.
+    n_runs = int(os.environ.get("SEMLINK_SCALING_RUNS", "2"))
+
+    def best(cpus: int) -> dict:
+        rs = [run(cpus, replicas, pipeline_only) for _ in range(n_runs)]
+        return min(rs, key=lambda r: r["queries"]["pipeline_e2e"])
+
+    r32 = best(32)
+    r8 = best(8)
 
     t8 = r8["queries"]["pipeline_e2e"]
     t32 = r32["queries"]["pipeline_e2e"]
