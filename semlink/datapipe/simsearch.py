@@ -248,8 +248,10 @@ def cosine_near_dup_edges_ivf(embeddings: DataFrame, centroids: DataFrame,
     top cell by construction, and boundary pairs are caught by the
     second probe. Work is Σ_cell |cell|² instead of N²; the join
     shuffles on cell only."""
+    # both sides of the cell self-join consume the assignment — persist
+    # it or the centroid crossJoin + per-id window run twice
     a = assign_cells(embeddings.select(id_col, emb_col), centroids,
-                     id_col, nprobe=nprobe, emb_col=emb_col)
+                     id_col, nprobe=nprobe, emb_col=emb_col).persist()
     l = a.select(F.col(id_col).alias("query_id"),
                  F.col(emb_col).alias("q_emb"), "cell")
     r = a.select(F.col(id_col).alias("cand_id"),

@@ -1321,6 +1321,8 @@ def ann_kmeans_centroids(spark, sf_dir):
 
 
 _ND_THR6 = 990_000
+_ND_K = 32      # more, smaller cells than the top-k query: near-dup cost is
+                # sum(|cell|^2); k=32 cut the bench query ~4x vs k=8
 
 @q("ann_ivf_near_dup_edges", f"""
   WITH aug AS (
@@ -1332,7 +1334,7 @@ _ND_THR6 = 990_000
   seeds AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
            embedding AS c_emb
-    FROM (SELECT vec_id, embedding FROM aug ORDER BY vec_id LIMIT {_IVF_K})),
+    FROM (SELECT vec_id, embedding FROM aug ORDER BY vec_id LIMIT {_ND_K})),
   csims AS (
     SELECT e.vec_id, s.cell,
            CAST(ROUND(({_cos_sql('e.embedding', 's.c_emb')})
@@ -1372,7 +1374,7 @@ def ann_ivf_near_dup_edges(spark, sf_dir):
                                  lambda x: x.cast("double") * 1.05 + 0.01)
                      .alias("embedding")))
     aug = base.unionByName(twins)
-    cents = ss.seed_centroids(aug, k=_IVF_K)
+    cents = ss.seed_centroids(aug, k=_ND_K)
     return ss.cosine_near_dup_edges_ivf(
         aug, cents, threshold=_ND_THR6 / SCALE, nprobe=2)
 
