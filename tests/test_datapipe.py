@@ -155,3 +155,28 @@ def test_decode_jpeg_standalone_markers_and_fill_bytes():
     # EOI before any SOF: scan stops cleanly, no bogus length read
     eoi_first = b"\xff\xd8" + b"\xff\xd9" + sof
     assert decode_media_header(eoi_first)["fmt"] == "unknown"
+
+
+def test_shingles_exploded_matches_shingle_set(spark):
+    """The lambda-free exploded shingle generator must reproduce the
+    HOF array form exactly — including short docs (whole-doc join),
+    empty docs ('' shingle), and duplicate shingles (distinct sets)."""
+    from pyspark.sql import functions as F
+
+    from semlink.datapipe.dedup import (minhash_signatures, shingle_set,
+                                        shingles_exploded)
+
+    rows = [(0, ""), (1, "   "), (2, "a"), (3, "a b"), (4, "a b c"),
+            (5, "a b c d e"), (6, "x x x x"), (7, "p q p q p q")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hof = {r.doc_id: sorted(set(r.sh)) for r in d.select(
+        "doc_id", shingle_set(F.col("text"), 3).alias("sh")).collect()}
+    exp = {}
+    for r in shingles_exploded(d, n=3).collect():
+        exp.setdefault(r.doc_id, set()).add(r.s)
+    assert {k: sorted(v) for k, v in exp.items()} == hof
+
+    a = {tuple(r) for r in minhash_signatures(d, impl="hof").collect()}
+    b = {tuple(r) for r in minhash_signatures(d, impl="exploded").collect()}
+    assert a == b and len(a) == len(rows)
