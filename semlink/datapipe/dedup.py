@@ -226,3 +226,41 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
         term = F.when(F.col(f"s{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def cross_corpus_overlap(corpus: DataFrame, benchmark: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3,
+                         contamination_threshold: float = 0.5) -> DataFrame:
+    """Benchmark DECONTAMINATION check — the training-data-pipeline op
+    that keeps eval sets out of the training corpus: for every corpus
+    document, the fraction of its distinct n-token shingles that occur
+    anywhere in the benchmark corpus, plus a contaminated flag at
+    ``contamination_threshold``.
+
+    Scale shape: both sides shingle through the lambda-free exploded
+    generator; the probe is a LEFT SEMI join on md5(shingle) — uniform
+    join keys, and the benchmark side (distinct shingle hashes of an
+    eval set — small by definition) broadcasts or shuffles as AQE
+    decides. Output is one row per corpus doc: overlap6 uses the
+    scaled-bigint convention so the oracle hash is exact.
+    """
+    c = (shingles_exploded(corpus, id_col, text_col, n)
+         .select(F.col(id_col), F.md5("s").alias("h")).distinct())
+    b = (shingles_exploded(benchmark, id_col, text_col, n)
+         .select(F.md5("s").alias("h")).distinct())
+    sizes = c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (c.join(b, "h", "left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap")))
+    thr6 = int(round(contamination_threshold * 1_000_000))
+    return (sizes.join(hits, id_col, "left")
+            .fillna(0, ["n_overlap"])
+            .withColumn("overlap6",
+                        F.round(F.col("n_overlap").cast("double")
+                                / F.col("n_shingles") * 1_000_000)
+                        .cast("bigint"))
+            .withColumn("contaminated", F.col("overlap6") >= thr6)
+            .select(F.col(id_col),
+                    F.col("n_shingles").cast("bigint").alias("n_shingles"),
+                    F.col("n_overlap").cast("bigint").alias("n_overlap"),
+                    "overlap6", "contaminated"))

@@ -1498,3 +1498,51 @@ def stream_rolling_context(spark, sf_dir):
           .trigger(availableNow=True).start())
     qy.awaitTermination(180)
     return spark.sql("SELECT * FROM q_rc")
+
+
+@q("sample_stratified", """
+  SELECT doc_id, lang, sample_rk FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS sample_rk
+    FROM documents)
+  WHERE sample_rk <= 20
+""")
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum sampling (datapipe.sampling): 20 docs
+    per language, ranked by md5(id) — reproducible across runs and
+    engines, no rand(); the oracle re-derives the exact row set."""
+    from .datapipe.sampling import stratified_sample
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, "lang", 20, keep_rank=True)
+
+
+@q("dedup_decontaminate", f"""
+  WITH sh AS ({_SHINGLE_SQL}),
+  c AS (SELECT doc_id, md5(s) AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+  b AS (SELECT DISTINCT md5(s) AS h
+        FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0)),
+  sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM c GROUP BY 1),
+  hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM c JOIN b USING (h) GROUP BY 1)
+  SELECT s.doc_id, s.n_shingles,
+         CAST(COALESCE(hi.n_overlap, 0) AS BIGINT) AS n_overlap,
+         CAST(ROUND(CAST(COALESCE(hi.n_overlap, 0) AS DOUBLE)
+              / s.n_shingles * {SCALE}) AS BIGINT) AS overlap6,
+         CAST(ROUND(CAST(COALESCE(hi.n_overlap, 0) AS DOUBLE)
+              / s.n_shingles * {SCALE}) AS BIGINT) >= {SCALE // 2}
+           AS contaminated
+  FROM sizes s LEFT JOIN hits hi ON hi.doc_id = s.doc_id
+""")
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.cross_corpus_overlap): every
+    50th document plays the eval set; each corpus doc reports the
+    fraction of its shingles found in that set. The planted benchmark
+    docs must come back contaminated (overlap 1.0); the oracle
+    re-derives every overlap fraction."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return dd.cross_corpus_overlap(d, bench)

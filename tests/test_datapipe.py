@@ -180,3 +180,37 @@ def test_shingles_exploded_matches_shingle_set(spark):
     a = {tuple(r) for r in minhash_signatures(d, impl="hof").collect()}
     b = {tuple(r) for r in minhash_signatures(d, impl="exploded").collect()}
     assert a == b and len(a) == len(rows)
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    from semlink.datapipe.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, stratum string")
+    a = stratified_sample(d, "stratum", 10, keep_rank=True)
+    got = [(r.doc_id, r.stratum, r.sample_rk) for r in a.collect()]
+    assert sorted(got) == sorted(
+        (r.doc_id, r.stratum, r.sample_rk)
+        for r in stratified_sample(d, "stratum", 10, keep_rank=True).collect())
+    per = {}
+    for _, s, rk in got:
+        per.setdefault(s, []).append(rk)
+    assert all(sorted(v) == list(range(1, 11)) for v in per.values())
+    assert set(per) == {"s0", "s1", "s2"}
+
+
+def test_cross_corpus_overlap_flags_planted_docs(spark):
+    from semlink.datapipe.dedup import cross_corpus_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "epsilon zeta eta theta"),
+         (3, "alpha beta gamma delta extra words here"),
+         (4, "totally different content entirely")],
+        "doc_id long, text string")
+    bench = corpus.filter("doc_id = 1")
+    out = {r.doc_id: r for r in cross_corpus_overlap(corpus, bench).collect()}
+    assert out[1].contaminated and out[1].overlap6 == 1_000_000
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    assert out[3].n_overlap == 2          # shared 'alpha beta gamma' + 'beta gamma delta'
+    assert not out[4].contaminated
