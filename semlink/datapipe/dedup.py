@@ -77,9 +77,14 @@ def shingles_exploded(df: DataFrame, id_col: str = "doc_id",
 
     Parity with :func:`shingle_set`: docs with fewer than n tokens emit
     their whole-doc join; zero-token docs emit a single '' shingle.
+    NULL text is coalesced to '' first so null-text docs also emit the
+    '' shingle (size(NULL) is NULL in Spark 4, so without the coalesce
+    neither the keep filter nor the empty-doc branch would match and
+    null-text rows would vanish — shingle_set emits [''] for them).
     """
     from pyspark.sql import Window
-    d = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
+    d = df.select(F.col(id_col),
+                  _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"))
     rows = d.select(id_col, F.size("_t").alias("_n"),
                     F.posexplode("_t").alias("_pos", "_w0"))
     w = Window.partitionBy(id_col).orderBy("_pos")

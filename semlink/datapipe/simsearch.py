@@ -248,10 +248,17 @@ def cosine_near_dup_edges_ivf(embeddings: DataFrame, centroids: DataFrame,
     top cell by construction, and boundary pairs are caught by the
     second probe. Work is Σ_cell |cell|² instead of N²; the join
     shuffles on cell only."""
-    # both sides of the cell self-join consume the assignment — persist
-    # it or the centroid crossJoin + per-id window run twice
+    # both sides of the cell self-join consume the assignment —
+    # materialize it once or the centroid crossJoin + per-id window
+    # run twice. localCheckpoint (not persist): persist() pins blocks
+    # in the CacheManager until an explicit unpersist, which this
+    # function can't issue (it returns a lazy plan), so repeated calls
+    # in a long-lived session would accumulate cached partitions
+    # (ADVICE r03); localCheckpointed blocks are GC-cleaned with the
+    # DataFrame by the ContextCleaner.
     a = assign_cells(embeddings.select(id_col, emb_col), centroids,
-                     id_col, nprobe=nprobe, emb_col=emb_col).persist()
+                     id_col, nprobe=nprobe, emb_col=emb_col) \
+        .localCheckpoint(eager=True)
     l = a.select(F.col(id_col).alias("query_id"),
                  F.col(emb_col).alias("q_emb"), "cell")
     r = a.select(F.col(id_col).alias("cand_id"),

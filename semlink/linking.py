@@ -40,23 +40,23 @@ from .textnorm import clean_expr
 
 # ------------------------------------------------------------ mentions
 
-def _first_word_gate(m: DataFrame, first_words) -> DataFrame:
+def _first_word_gate(m: DataFrame, first_words,
+                     gate_col: str = "ngram_norm") -> DataFrame:
     """Post-explode form of the F4 first-word gate: keep mentions whose
-    blocking key's first word starts some anchor. Used where the gate
+    ``gate_col``'s first word starts some anchor. Used where the gate
     must run AFTER the blocking key exists (the streaming-unicode path
     re-derives ngram_norm post-explode, so gating inside the explode
     would test ASCII-folded '' keys and drop every CJK mention —
     ADVICE r02)."""
+    gate = F.split(F.col(gate_col), " ").getItem(0)
     if isinstance(first_words, DataFrame):
         g = first_words.select(
             F.col(first_words.columns[0]).alias("_fw")).distinct()
-        return m.join(F.broadcast(g),
-                      F.split(F.col("ngram_norm"), " ").getItem(0)
-                      == F.col("_fw"), "left_semi")
+        return m.join(F.broadcast(g), gate == F.col("_fw"), "left_semi")
     fw = sorted({w for w in first_words if w})
     if not fw:
         return m.filter(F.lit(False))
-    return m.filter(F.split(F.col("ngram_norm"), " ").getItem(0).isin(fw))
+    return m.filter(gate.isin(fw))
 
 
 def generate_mentions(transcripts: DataFrame,
@@ -100,7 +100,20 @@ def generate_mentions(transcripts: DataFrame,
                               normalize_unicode_udf(F.col("ngram")))
                  .filter(F.col("ngram_norm") != ""))
             if first_words is not None:
-                m = _first_word_gate(m, first_words)
+                # BATCH gates on the span's OWN leading normalized
+                # token ('' for punctuation-only leads → dropped), not
+                # on the first word of the collapsed whole-ngram key —
+                # so gate here on the unicode-normalized leading RAW
+                # token for identical batch/streaming mention sets
+                # (ADVICE r03; punctuation-led CJK span pinned in
+                # tests/test_streaming.py)
+                m = (m.withColumn(
+                        "_lead_norm",
+                        normalize_unicode_udf(
+                            F.split(F.col("ngram"), " ").getItem(0)))
+                     .transform(lambda d: _first_word_gate(
+                         d, first_words, gate_col="_lead_norm"))
+                     .drop("_lead_norm"))
         return m
     if carry_cols:
         raise ValueError("carry_cols is a streaming-only feature "
@@ -340,25 +353,25 @@ def resolve_senses(cands: DataFrame, relatedness: DataFrame,
 
     Deterministic tie-break: (score desc, sense_prob desc, target_id).
 
-    Scale notes (VERDICT r02 wrong #1): the UNBOUNDED relatedness table
-    (up to K·|inlink rows| — billions at Wikipedia scale) is never
-    broadcast directly: it is first semi-joined down to entities
-    actually present in the candidate set, so the 100 TB plan never
-    moves relatedness rows no candidate mentions. What happens after
-    the reduction is config-gated (``cfg.broadcast_context_tables``):
+    Scale notes (VERDICT r02 wrong #1, docstring corrected per ADVICE
+    r03): handling of the relatedness table (up to K·|inlink rows| —
+    billions at Wikipedia scale) is config-gated
+    (``cfg.broadcast_context_tables``), and the two modes differ in
+    WHAT is shipped, not just how:
 
-    - True (default): hint-broadcast rel directly (and the
-      dictionary-cardinality n_senses) — the regime where relatedness
-      fits executor memory. Measured at 2.9M turns / local[32]:
-      de-hinting cost ~40 s e2e (anti-scaled: link slower at 32 cores
-      than 8), and even reducing rel BEFORE the broadcast cost ~19 s
-      (the broadcast then waits on the candidate set instead of
-      shipping as soon as the MW aggregation finishes —
-      BENCH/BASELINE.md §4c).
-    - False: the scale regime — rel is semi-joined down to entities
-      present in the candidate set, then Catalyst/AQE picks shuffle
-      joins on the natural keys. For corpora whose relatedness table
-      exceeds executor memory.
+    - True (default): hint-broadcast the FULL relatedness table (and
+      the dictionary-cardinality n_senses) with NO semi-join
+      reduction — the regime where relatedness fits executor memory,
+      and the flag MUST be flipped off for corpora where it doesn't.
+      Deliberately unreduced: measured at 2.9M turns / local[32],
+      reducing rel before the broadcast cost ~19 s e2e (the broadcast
+      then waits on the candidate set instead of shipping as soon as
+      the MW aggregation finishes), and de-hinting entirely cost
+      ~40 s and anti-scaled (BENCH/BASELINE.md §4c).
+    - False: the 100 TB regime — rel is first semi-joined down to
+      entities actually present in the candidate set (so the plan
+      never moves relatedness rows no candidate mentions), then
+      Catalyst/AQE picks shuffle joins on the natural keys.
     """
     n_senses = cands.groupBy("ngram_norm").agg(
         F.count_distinct("target_id").alias("n_senses"))

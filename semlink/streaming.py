@@ -108,7 +108,10 @@ def rolling_context(cand_stream: DataFrame,
     pairs; on every micro-batch the group's new candidates fold in
     (vectorized pandas max-per-entity, no per-row Python), then the
     least-recently-seen entities are evicted beyond the cap
-    (deterministic tie-break: older last_seen first, larger id first).
+    (deterministic: oldest last_seen evicted first; on a last_seen tie
+    the SMALLER entity id is evicted — larger ids sort first in the
+    keep list; pinned by the tie case in
+    tests/test_streaming.py::test_rolling_context_state_and_eviction).
     Emits one row per (conv_id, micro-batch) with the surviving context
     set — downstream re-scoring joins against it exactly like the batch
     path joins resolve_senses' ctx.

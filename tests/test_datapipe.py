@@ -167,7 +167,8 @@ def test_shingles_exploded_matches_shingle_set(spark):
                                         shingles_exploded)
 
     rows = [(0, ""), (1, "   "), (2, "a"), (3, "a b"), (4, "a b c"),
-            (5, "a b c d e"), (6, "x x x x"), (7, "p q p q p q")]
+            (5, "a b c d e"), (6, "x x x x"), (7, "p q p q p q"),
+            (8, None)]  # NULL text must dedup under '' like empty docs
     d = spark.createDataFrame(rows, "doc_id long, text string")
 
     hof = {r.doc_id: sorted(set(r.sh)) for r in d.select(

