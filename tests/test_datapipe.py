@@ -10,7 +10,7 @@ FAST = [
     "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_pairs",
     "dedup_simhash", "text_langid", "text_quality_score",
     "text_fingerprints", "ann_ivf_cell_topk", "media_features",
-    "rl_dict_build", "rl_mention_pairs",
+    "media_pixels", "rl_dict_build", "rl_mention_pairs",
 ]
 
 
@@ -94,10 +94,12 @@ def test_multimodal_roundtrip_real_decode(spark):
     for doc_id, text in ((1, "hello world"), (2, "")):
         h = hashlib.md5(text.encode()).hexdigest()
         r = feats[f"m{doc_id}"]
-        assert r.fmt == "png" and r.n_bytes == 33
+        assert r.fmt == "png"
         assert r.width == 1 + int(h[0:2], 16) % 64
         assert r.height == 1 + int(h[2:4], 16) % 64
         assert r.channels == {0: 1, 2: 3, 4: 2, 6: 4}[(int(h[4], 16) % 4) * 2]
+        # full PNG now: sig+IHDR (33) + IDAT (23 + raw) + IEND (12)
+        assert r.n_bytes == 68 + r.height * (1 + r.width * r.channels)
         assert len(r.digest) == 32
 
 
@@ -215,3 +217,106 @@ def test_cross_corpus_overlap_flags_planted_docs(spark):
     assert not out[2].contaminated and out[2].n_overlap == 0
     assert out[3].n_overlap == 2          # shared 'alpha beta gamma' + 'beta gamma delta'
     assert not out[4].contaminated
+
+
+def test_lang_id_known_language_docs(spark):
+    """Profile-based lang_id must pick the right language for real
+    sentences in each profiled language, 'cjk' for CJK text via the
+    byte-excess channel, and 'und' for text matching no profile."""
+    from semlink.datapipe.textstats import lang_id
+
+    rows = [
+        (1, "the cat sat on the mat and it was not a big deal for the dog"),
+        (2, "der Hund ist mit der Katze und sie sind nicht bei dem Haus"),
+        (3, "le chat est dans la maison et il ne va pas au marché avec elle"),
+        (4, "el perro es un animal y no se puede con el gato en la casa"),
+        (5, "猫は屋根の上で寝ている犬と遊ぶ"),
+        (6, "zxqv wvut plok mnbv qwerty asdfgh"),
+        (7, None),
+        (8, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.lang_pred, r.top_score6)
+           for r in lang_id(d).collect()}
+    assert got[1][0] == "en"
+    assert got[2][0] == "de"
+    assert got[3][0] == "fr"
+    assert got[4][0] == "es"
+    assert got[5][0] == "cjk" and got[5][1] > 900_000
+    assert got[6][0] == "und"
+    assert got[7] == ("und", 0)
+    assert got[8] == ("und", 0)
+
+
+def _encode_png(img, ct, filters):
+    """Reference PNG encoder for decoder tests: real zlib compression,
+    one caller-chosen filter type per scanline (forward-filtered per
+    RFC 2083 §6 so the decoder must invert each type)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for r in range(h):
+        line = img[r].reshape(w * c).astype(np.int64)
+        ft = filters[r % len(filters)]
+        enc = line.copy()
+        for x in range(w * c):
+            left = int(line[x - c]) if x >= c else 0
+            up = int(prev[x])
+            ul = int(prev[x - c]) if x >= c else 0
+            if ft == 1:
+                enc[x] = (line[x] - left) % 256
+            elif ft == 2:
+                enc[x] = (line[x] - up) % 256
+            elif ft == 3:
+                enc[x] = (line[x] - (left + up) // 2) % 256
+            elif ft == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                enc[x] = (line[x] - pred) % 256
+        raw.append(ft)
+        raw.extend(int(b) for b in enc)
+        prev = line
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, ct, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_pixels_all_filter_types():
+    """decode_png_pixels must invert every PNG filter type (None, Sub,
+    Up, Average, Paeth) on a real zlib-compressed stream, for 1- and
+    3-channel images — digest equals md5(hex(original pixels))."""
+    import hashlib
+
+    import numpy as np
+
+    from semlink.datapipe.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(42)
+    for ct, c in ((0, 1), (2, 3), (6, 4)):
+        img = rng.integers(0, 256, size=(7, 5, c), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png = _encode_png(img, ct, filters)
+            got = decode_png_pixels(png)
+            want = img.tobytes()
+            assert got["n_px"] == 35
+            assert got["px_digest"] == hashlib.md5(
+                want.hex().encode()).hexdigest(), (ct, filters)
+            assert abs(got["mean"] - float(np.mean(img))) < 1e-9
+
+    # garbage / truncated / non-PNG payloads: null stats, no raise
+    assert decode_png_pixels(b"")["n_px"] is None
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\nxx")["n_px"] is None
+    assert decode_png_pixels(_encode_png(
+        np.zeros((2, 2, 1), np.uint8), 0, [0])[:40])["n_px"] is None
