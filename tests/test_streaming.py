@@ -246,3 +246,51 @@ def test_rolling_context_state_and_eviction(spark, tmp_path):
     assert sorted(tuple(r.ctx_entities) for r in ca) == [(1, 2), (2, 3)]
     assert sorted(tuple(r.ctx_entities) for r in cb) == [(7,), (8, 9)]
     assert all(r.n_ctx == len(r.ctx_entities) for r in rows)
+
+
+def test_rolling_context_rocksdb_state_store(spark, tmp_path):
+    """VERDICT r03 next #8: the stateful rolling-context operator must
+    behave identically under the RocksDB state-store provider (the
+    provider a production cluster runs for large state) with
+    maxFilesPerTrigger rate limiting — same cross-batch fold and same
+    eviction as the default HDFS-backed store."""
+    import datetime
+
+    from semlink.streaming import rolling_context
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "conv_id string, target_id long, ts timestamp"
+    src = tmp_path / "rdb_src"
+    b1 = [("cA", 1, t0), ("cA", 2, t0 + datetime.timedelta(minutes=1)),
+          ("cB", 7, t0)]
+    b2 = [("cA", 3, t0 + datetime.timedelta(minutes=2)),
+          ("cB", 8, t0), ("cB", 9, t0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    import time as _t
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+        out = rolling_context(stream, max_entities=2)
+        q = (out.writeStream.format("memory").queryName("rdb_t")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "rdb_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        rows = spark.sql("select * from rdb_t").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    ca = [r for r in rows if r.conv_id == "cA"]
+    cb = [r for r in rows if r.conv_id == "cB"]
+    assert sorted(tuple(r.ctx_entities) for r in ca) == [(1, 2), (2, 3)]
+    assert sorted(tuple(r.ctx_entities) for r in cb) == [(7,), (8, 9)]
