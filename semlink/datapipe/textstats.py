@@ -49,13 +49,19 @@ def _count_char(col: Column, ch: str) -> Column:
 
 
 def word_token_count(col: Column) -> Column:
-    """Count of maximal [A-Za-z]+ and [0-9]+ runs (BPE-ish word/number
-    pieces), regex-free on the hot path: classify letters→'a' and
-    digits→'0' with translate (any other char — including non-ASCII
-    letters — breaks a run, exactly like the regex), collapse runs with
-    bounded replace passes, then count survivors by translate-deletion
-    length difference. Spark's regexp evaluation is ~serialized across
-    task threads (BENCH/BASELINE.md §2); translate/replace scale."""
+    """Regex-free count of maximal [A-Za-z]+ and [0-9]+ runs: classify
+    letters→'a' and digits→'0' with translate (any other char breaks a
+    run, exactly like the regex), collapse runs with bounded replace
+    passes, then count survivors by translate-deletion length diff.
+
+    MEASURED NEGATIVE RESULT (round 4, tools/datapipe_scaling.py
+    'wordtok' cell, 1M docs): regexp_extract_all beats this chain at
+    BOTH widths (regex 5.2 s@8 / 4.3 s@32 vs 8.3 / 5.6) — the
+    thread-serialization cliff is regexp_replace-specific and
+    extract_all scales like every other expression on this host
+    (eff 0.30 vs 0.37). Kept as the documented alternative if a
+    substrate ever serializes extract_all; with_token_stats uses the
+    regex."""
     cls = F.translate(F.translate(col, _LETTERS, "a" * len(_LETTERS)),
                       _DIGITS, "0" * len(_DIGITS))
     collapsed = _collapse_runs(_collapse_runs(cls, "a"), "0")
@@ -63,11 +69,13 @@ def word_token_count(col: Column) -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish word/number pieces."""
+    """Token counting: whitespace tokens + BPE-ish word/number pieces
+    (regexp_extract_all — measured faster than the translate-classify
+    chain at both 8 and 32 cores; see word_token_count)."""
     t = F.col(text_col)
     return df.withColumns({
         "ws_tokens": F.size(_tokens(t)).cast("bigint"),
-        "word_tokens": word_token_count(t).cast("bigint"),
+        "word_tokens": F.size(F.regexp_extract_all(t, F.lit(WORD_RE), 0)).cast("bigint"),
         "n_chars": F.length(t).cast("bigint"),
     })
 

@@ -1,0 +1,208 @@
+"""Similarity search (datapipe): brute-force cosine top-k, IVF
+cell top-k, Lloyd k-means centroids, IVF near-dup edges."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..datapipe import simsearch as ss
+from . import SCALE, _r6, _read, q
+
+
+_COSINE_SQL = """
+  list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+  / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+     * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+@q("ann_brute_force_topk", f"""
+  WITH sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROUND(({_COSINE_SQL}) * {SCALE}) AS BIGINT) AS sim6
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 25)
+  SELECT query_id, cand_id, sim6, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim6 DESC, cand_id) AS rk
+    FROM sims)
+  WHERE rk <= 5
+""")
+def ann_brute_force_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    q_ = (e.filter(F.col("vec_id") < 25)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb")))
+    c = e.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"))
+    return ss.brute_force_topk(c, q_, k=5) \
+        .withColumn("rk", F.col("rk").cast("int"))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"list_inner_product({a}, {b})"
+            f" / (sqrt(list_inner_product({a}, {a}))"
+            f" * sqrt(list_inner_product({b}, {b})))")
+
+
+_IVF_K = 8
+
+@q("ann_ivf_cell_topk", f"""
+  WITH seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           CAST(embedding AS DOUBLE[]) AS c_emb
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {_IVF_K})),
+  csims AS (
+    SELECT e.vec_id, e.embedding, s.cell,
+           CAST(ROUND(({_cos_sql('CAST(e.embedding AS DOUBLE[])', 's.c_emb')})
+                * {SCALE}) AS BIGINT) AS csim6
+    FROM embeddings e CROSS JOIN seeds s),
+  asg AS (
+    SELECT vec_id, embedding, cell FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim6 DESC, cell) AS crk
+      FROM csims) WHERE crk = 1),
+  sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROUND(({_cos_sql('CAST(q.embedding AS DOUBLE[])',
+                                 'CAST(c.embedding AS DOUBLE[])')})
+                * {SCALE}) AS BIGINT) AS sim6
+    FROM asg q JOIN asg c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50)
+  SELECT query_id, cand_id, sim6, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim6 DESC, cand_id) AS rk
+    FROM sims)
+  WHERE rk <= 5
+""")
+def ann_ivf_cell_topk(spark, sf_dir):
+    """Real IVF: deterministic seed centroids (k lowest-id vectors),
+    cosine argmax cell assignment, then cell-restricted search — the
+    whole index path is oracle-verified, not a fixture-label stand-in."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = ss.seed_centroids(e, k=_IVF_K)
+    a = ss.assign_cells(e.select("vec_id", "embedding"), cents, "vec_id",
+                        nprobe=1)
+    q_ = (a.filter(F.col("vec_id") < 50)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"), "cell"))
+    c = a.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"), "cell")
+    return ss.ivf_topk(c, q_, k=5).withColumn("rk", F.col("rk").cast("int"))
+
+
+_KM_K = 4
+
+def _km_seeds_sql(k: int) -> str:
+    return f"""
+  c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           CAST(embedding AS DOUBLE[]) AS c_emb
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {k}))"""
+
+
+def _km_iter_sql(i: int, prev: str) -> str:
+    """One Lloyd iteration as CTEs: argmax-cosine assignment against
+    {prev}, then the scaled-bigint-deterministic centroid update (empty
+    cells keep their previous centroid) — the exact arithmetic of
+    simsearch.kmeans_centroids."""
+    cos = _cos_sql("CAST(e.embedding AS DOUBLE[])", "c.c_emb")
+    return f"""
+  asg{i} AS (
+    SELECT vec_id, embedding, cell FROM (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               CAST(ROUND(({cos}) * {SCALE}) AS BIGINT) DESC, c.cell) AS crk
+      FROM embeddings e CROSS JOIN {prev} c) WHERE crk = 1),
+  upd{i} AS (
+    SELECT cell, list(m ORDER BY pos) AS c_emb FROM (
+      SELECT cell, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS m FROM (
+        SELECT a.cell, u.pos,
+               CAST(sum(CAST(ROUND(u.x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM asg{i} a, LATERAL (
+          SELECT unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(a.embedding, 1) AS pos) u
+        GROUP BY 1, 2)) GROUP BY cell),
+  c{i + 1} AS (SELECT p.cell, COALESCE(u.c_emb, p.c_emb) AS c_emb
+               FROM {prev} p LEFT JOIN upd{i} u USING (cell))"""
+
+
+@q("ann_kmeans_centroids", f"""
+  WITH {_km_seeds_sql(_KM_K)},
+  {_km_iter_sql(0, 'c0')},
+  {_km_iter_sql(1, 'c1')}
+  SELECT cell, CAST(u.pos AS BIGINT) - 1 AS pos,
+         CAST(ROUND(u.m * {SCALE}) AS BIGINT) AS m6
+  FROM c2, LATERAL (SELECT unnest(c_emb) AS m,
+                           generate_subscripts(c_emb, 1) AS pos) u
+""")
+def ann_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd k-means (the IVF coarse quantizer), fully
+    oracle-verified: DuckDB re-runs both iterations — deterministic
+    seed centroids, argmax-cosine assignment, scaled-bigint centroid
+    averaging, empty-cell carry-over — element by element."""
+    e = _read(spark, sf_dir, "embeddings")
+    c = ss.kmeans_centroids(e, k=_KM_K, iters=2)
+    return (c.select("cell", F.posexplode("c_emb").alias("pos", "m"))
+            .select("cell", F.col("pos").cast("bigint").alias("pos"),
+                    _r6(F.col("m")).alias("m6")))
+
+
+_ND_THR6 = 990_000
+_ND_K = 32      # more, smaller cells than the top-k query: near-dup cost is
+                # sum(|cell|^2); k=32 cut the bench query ~4x vs k=8
+
+@q("ann_ivf_near_dup_edges", f"""
+  WITH aug AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05 + 0.01)
+    FROM embeddings WHERE vec_id < 100),
+  seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           embedding AS c_emb
+    FROM (SELECT vec_id, embedding FROM aug ORDER BY vec_id LIMIT {_ND_K})),
+  csims AS (
+    SELECT e.vec_id, s.cell,
+           CAST(ROUND(({_cos_sql('e.embedding', 's.c_emb')})
+                * {SCALE}) AS BIGINT) AS csim6
+    FROM aug e CROSS JOIN seeds s),
+  asg AS (
+    SELECT vec_id, cell FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim6 DESC, cell) AS crk
+      FROM csims) WHERE crk <= 2),
+  pairs AS (
+    SELECT DISTINCT q.vec_id AS src, c.vec_id AS dst
+    FROM asg q JOIN asg c ON q.cell = c.cell AND q.vec_id < c.vec_id),
+  sims AS (
+    SELECT p.src, p.dst,
+           CAST(ROUND(({_cos_sql('e1.embedding', 'e2.embedding')})
+                * {SCALE}) AS BIGINT) AS sim6
+    FROM pairs p
+    JOIN aug e1 ON e1.vec_id = p.src
+    JOIN aug e2 ON e2.vec_id = p.dst)
+  SELECT src, dst, sim6 FROM sims WHERE sim6 >= {_ND_THR6}
+""")
+def ann_ivf_near_dup_edges(spark, sf_dir):
+    """The production cell-routed near-dup edge builder
+    (cosine_near_dup_edges_ivf: Σ|cell|² work, nprobe=2, scaled-bigint
+    threshold). The corpus is augmented with 100 deterministic
+    perturbed twins (x → 1.05x + 0.01, cosine ≈ 0.9997) so the planted
+    near-dup set is non-trivial; the oracle re-derives the probe sets,
+    the candidate-pair dedup, and every surviving edge — the IVF
+    routing must recover every planted twin through a shared cell."""
+    e = _read(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    twins = (e.filter(F.col("vec_id") < 100)
+             .select((F.col("vec_id") + 100_000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: x.cast("double") * 1.05 + 0.01)
+                     .alias("embedding")))
+    aug = base.unionByName(twins)
+    cents = ss.seed_centroids(aug, k=_ND_K)
+    return ss.cosine_near_dup_edges_ivf(
+        aug, cents, threshold=_ND_THR6 / SCALE, nprobe=2)

@@ -1,0 +1,222 @@
+"""Dedup family (datapipe): exact, MinHash/LSH, Jaccard verify,
+SimHash, composed near-dup clustering, benchmark decontamination."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..datapipe import dedup as dd
+from . import SCALE, _docs, _r6, q
+
+
+@q("dedup_exact", """
+  SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+         count(*) AS dup_count
+  FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i : i + 2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),
+                                   x -> x <> '') AS toks
+        FROM documents)
+"""
+
+_MINHASH_SQL = "".join([
+    "SELECT doc_id",
+    *[f", list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+      for i in range(dd.MINHASH_K)],
+    f" FROM ({_SHINGLE_SQL})",
+])
+
+@q("dedup_minhash_signatures", _MINHASH_SQL)
+def dedup_minhash_signatures(spark, sf_dir):
+    return dd.minhash_signatures(_docs(spark, sf_dir))
+
+
+_BUCKET_SQL = " UNION ALL ".join(
+    f"""SELECT doc_id, {b} AS band,
+        md5('{b}' || '|' || mh_{2 * b} || '|' || mh_{2 * b + 1}) AS bucket
+        FROM ({_MINHASH_SQL})"""
+    for b in range(dd.LSH_BANDS))
+
+@q("dedup_lsh_buckets", _BUCKET_SQL)
+def dedup_lsh_buckets(spark, sf_dir):
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    return dd.lsh_buckets(sigs).withColumn("band", F.col("band").cast("int"))
+
+
+@q("dedup_lsh_pairs", f"""
+  WITH b AS ({_BUCKET_SQL}),
+  sized AS (SELECT band, bucket FROM b GROUP BY band, bucket
+            HAVING count(*) <= 64)
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM (SELECT b.* FROM b JOIN sized USING (band, bucket)) l
+  JOIN (SELECT b.* FROM b JOIN sized USING (band, bucket)) r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+""")
+def dedup_lsh_pairs(spark, sf_dir):
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    return dd.lsh_candidate_pairs(dd.lsh_buckets(sigs))
+
+
+@q("dedup_ngram_jaccard", f"""
+  WITH pairs AS (
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id
+    FROM documents a JOIN documents b
+      ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+  sh AS ({_SHINGLE_SQL}),
+  sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+  ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+  inter AS (SELECT p.left_id, p.right_id, count(*) AS inter
+            FROM pairs p
+            JOIN ex el ON el.doc_id = p.left_id
+            JOIN ex er ON er.doc_id = p.right_id AND er.s = el.s
+            GROUP BY 1, 2)
+  SELECT p.left_id, p.right_id,
+         coalesce(i.inter, 0) AS inter,
+         CAST(ROUND(CAST(coalesce(i.inter, 0) AS DOUBLE)
+              / (sl.n_sh + sr.n_sh - coalesce(i.inter, 0)) * {SCALE})
+              AS BIGINT) AS jaccard6
+  FROM pairs p
+  LEFT JOIN inter i USING (left_id, right_id)
+  JOIN sizes sl ON sl.doc_id = p.left_id
+  JOIN sizes sr ON sr.doc_id = p.right_id
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("left_id"), "lang")
+    b = d.select(F.col("doc_id").alias("right_id"),
+                 F.col("lang").alias("l2"))
+    pairs = (a.join(b, (F.col("right_id") == F.col("left_id") + 1)
+                    & (F.col("lang") == F.col("l2")))
+             .select("left_id", "right_id"))
+    jac = dd.ngram_jaccard(d, pairs)
+    return jac.select(
+        "left_id", "right_id", F.col("inter").cast("bigint").alias("inter"),
+        _r6(F.col("inter").cast("double")
+            / (F.col("n_l") + F.col("n_r") - F.col("inter"))).alias("jaccard6"))
+
+
+_SIMHASH_NIB = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+_SIMHASH_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(list_distinct("
+    "list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))) AS tok "
+    "FROM documents), "
+    "h AS (SELECT doc_id, md5(tok) AS hx FROM toks), "
+    "v AS (SELECT doc_id"
+    + "".join(
+        f", sum(CASE WHEN CAST(floor({_SIMHASH_NIB.format(p=j // 4 + 1)} / {2 ** (j % 4)}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(dd.SIMHASH_BITS))
+    + " FROM h GROUP BY doc_id) "
+    "SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(dd.SIMHASH_BITS))
+    + " AS BIGINT) AS simhash FROM v")
+
+@q("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+_ND_PAIRS_SQL = f"""
+  WITH b AS ({_BUCKET_SQL}),
+  sized AS (SELECT band, bucket FROM b GROUP BY band, bucket
+            HAVING count(*) <= 64),
+  cand AS (
+    SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+    FROM (SELECT b.* FROM b JOIN sized USING (band, bucket)) l
+    JOIN (SELECT b.* FROM b JOIN sized USING (band, bucket)) r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+  sh AS ({_SHINGLE_SQL}),
+  sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+  ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+  inter AS (SELECT p.left_id, p.right_id, count(*) AS inter
+            FROM cand p
+            JOIN ex el ON el.doc_id = p.left_id
+            JOIN ex er ON er.doc_id = p.right_id AND er.s = el.s
+            GROUP BY 1, 2)
+  SELECT p.left_id, p.right_id
+  FROM cand p
+  JOIN inter i USING (left_id, right_id)
+  JOIN sizes sl ON sl.doc_id = p.left_id
+  JOIN sizes sr ON sr.doc_id = p.right_id
+  WHERE CAST(ROUND(CAST(i.inter AS DOUBLE)
+             / (sl.n_sh + sr.n_sh - i.inter) * {SCALE}) AS BIGINT)
+        >= {SCALE // 2}
+"""
+
+@q("dedup_near_dup_clusters", f"""
+  WITH RECURSIVE edges AS (
+    SELECT 'd' || lpad(CAST(left_id AS VARCHAR), 6, '0') AS src,
+           'd' || lpad(CAST(right_id AS VARCHAR), 6, '0') AS dst
+    FROM ({_ND_PAIRS_SQL})),
+  sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+          UNION SELECT src, src FROM edges UNION SELECT dst, dst FROM edges),
+  reach(a, b) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+  )
+  SELECT a AS mention_id, min(b) AS cluster_id FROM reach GROUP BY a
+""")
+def dedup_near_dup_clusters(spark, sf_dir):
+    """Dedup family composed e2e: the LSH candidate pairs are verified
+    with exact shingle Jaccard (≥ 0.5), surviving pairs become edges,
+    and the SAME checkpointed large/small-star CC that clusters
+    record-linkage mentions labels the near-dup groups. The oracle
+    recomputes the whole chain, CC included (recursive CTE)."""
+    import tempfile
+    from ..cluster import run_connected_components
+    from ..config import SemlinkConfig
+    d = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(d)
+    pairs = dd.lsh_candidate_pairs(dd.lsh_buckets(sigs))
+    jac = dd.ngram_jaccard(d, pairs)
+    ident = lambda c: F.concat(F.lit("d"),
+                               F.lpad(F.col(c).cast("string"), 6, "0"))
+    edges = (jac.filter(
+        _r6(F.col("inter").cast("double")
+            / (F.col("n_l") + F.col("n_r") - F.col("inter")))
+        >= SCALE // 2)
+        .select(ident("left_id").alias("src"), ident("right_id").alias("dst")))
+    ckpt = tempfile.mkdtemp(prefix="semlink_nd_cc_")
+    return run_connected_components(edges, SemlinkConfig(), ckpt_dir=ckpt)
+
+
+@q("dedup_decontaminate", f"""
+  WITH sh AS ({_SHINGLE_SQL}),
+  c AS (SELECT doc_id, md5(s) AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+  b AS (SELECT DISTINCT md5(s) AS h
+        FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0)),
+  sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM c GROUP BY 1),
+  hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM c JOIN b USING (h) GROUP BY 1)
+  SELECT s.doc_id, s.n_shingles,
+         CAST(COALESCE(hi.n_overlap, 0) AS BIGINT) AS n_overlap,
+         CAST(ROUND(CAST(COALESCE(hi.n_overlap, 0) AS DOUBLE)
+              / s.n_shingles * {SCALE}) AS BIGINT) AS overlap6,
+         CAST(ROUND(CAST(COALESCE(hi.n_overlap, 0) AS DOUBLE)
+              / s.n_shingles * {SCALE}) AS BIGINT) >= {SCALE // 2}
+           AS contaminated
+  FROM sizes s LEFT JOIN hits hi ON hi.doc_id = s.doc_id
+""")
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.cross_corpus_overlap): every
+    50th document plays the eval set; each corpus doc reports the
+    fraction of its shingles found in that set. The planted benchmark
+    docs must come back contaminated (overlap 1.0); the oracle
+    re-derives every overlap fraction."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return dd.cross_corpus_overlap(d, bench)

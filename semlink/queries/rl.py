@@ -1,0 +1,224 @@
+"""Record-linkage spine over the documents corpus (T2-T4, A1-A6,
+J1/J3, F1/F3, O4, X3/X4, C2-C4)."""
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..ngrams import explode_mentions, ngram_duckdb_sql
+from ..textnorm import NORMALIZE_DUCKDB_SQL, normalize_expr
+from . import SCALE, _docs, _r6, _read, q
+
+
+_TOK_SQL = """
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS token
+  FROM documents
+"""
+
+@q("rl_ngram_explode", f"""
+  {ngram_duckdb_sql('documents', 'doc_id', 'text', 3)}
+""")
+def rl_ngram_explode(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    m = explode_mentions(d, key_cols=("conv_id",), max_n=3)
+    return m.select(F.col("conv_id").alias("doc_id"),
+                    "span_start", "span_len", "ngram")
+
+
+@q("rl_normalize_blocking_key", f"""
+  SELECT DISTINCT p_name AS raw,
+         {NORMALIZE_DUCKDB_SQL.format(col='p_name')} AS blocking_key
+  FROM part
+""")
+def rl_normalize(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    return (p.select(F.col("p_name").alias("raw"),
+                     normalize_expr(F.col("p_name")).alias("blocking_key"))
+            .distinct())
+
+
+_DICT_SQL = f"""
+  WITH toks AS ({_TOK_SQL}),
+  occ AS (SELECT t.token AS anchor_norm, d.source AS sense, count(*) AS sense_cnt
+          FROM toks t JOIN documents d USING (doc_id)
+          GROUP BY 1, 2),
+  tot AS (SELECT anchor_norm, CAST(sum(sense_cnt) AS BIGINT) AS anchor_total
+          FROM occ GROUP BY 1)
+  SELECT o.anchor_norm, o.sense, o.sense_cnt, t.anchor_total,
+         CAST(ROUND(CAST(o.sense_cnt AS DOUBLE) / t.anchor_total * {SCALE})
+              AS BIGINT) AS prior6
+  FROM occ o JOIN tot t USING (anchor_norm)
+"""
+
+def _spark_dict(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), "")).alias("anchor_norm"))
+    occ = toks.groupBy("anchor_norm", F.col("source").alias("sense")).agg(
+        F.count("*").alias("sense_cnt"))
+    tot = occ.groupBy("anchor_norm").agg(F.sum("sense_cnt").alias("anchor_total"))
+    return (occ.join(tot, "anchor_norm")
+            .withColumn("prior6",
+                        _r6(F.col("sense_cnt").cast("double") / F.col("anchor_total"))))
+
+
+@q("rl_dict_build", _DICT_SQL)
+def rl_dict_build(spark, sf_dir):
+    return _spark_dict(spark, sf_dir)
+
+
+@q("rl_threshold_filter", f"""
+  SELECT * FROM ({_DICT_SQL}) WHERE prior6 >= {SCALE // 12}
+""")
+def rl_threshold_filter(spark, sf_dir):
+    return _spark_dict(spark, sf_dir).filter(F.col("prior6") >= SCALE // 12)
+
+
+@q("rl_link_top1", f"""
+  WITH dict AS ({_DICT_SQL}),
+  top1 AS (SELECT anchor_norm, sense, prior6,
+                  row_number() OVER (ORDER BY anchor_norm,
+                                     prior6 DESC, sense) AS _g,
+                  row_number() OVER (PARTITION BY anchor_norm
+                                     ORDER BY prior6 DESC, sense) AS rk
+           FROM dict),
+  toks AS ({_TOK_SQL})
+  SELECT DISTINCT t.doc_id, t.token, p.sense AS top_sense, p.prior6
+  FROM toks t JOIN (SELECT * FROM top1 WHERE rk = 1) p
+    ON t.token = p.anchor_norm
+""")
+def rl_link_top1(spark, sf_dir):
+    dict_df = _spark_dict(spark, sf_dir)
+    w = Window.partitionBy("anchor_norm").orderBy(F.desc("prior6"), F.asc("sense"))
+    top1 = (dict_df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("anchor_norm", F.col("sense").alias("top_sense"), "prior6"))
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), "")).alias("token"))
+    return (toks.join(F.broadcast(top1),
+                      toks.token == top1.anchor_norm)
+            .select("doc_id", "token", "top_sense", "prior6")
+            .distinct())
+
+
+_MENTIONS12_SQL = ngram_duckdb_sql("documents", "doc_id", "text", 2)
+
+@q("rl_largest_matching", f"""
+  WITH mentions AS ({_MENTIONS12_SQL}),
+  dict AS (SELECT ngram FROM mentions GROUP BY ngram HAVING count(*) >= 20),
+  matched AS (SELECT m.* FROM mentions m JOIN dict USING (ngram))
+  SELECT a.doc_id, a.span_start, a.span_len, a.ngram
+  FROM matched a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM matched b
+    WHERE b.doc_id = a.doc_id
+      AND b.span_start <= a.span_start
+      AND b.span_start + b.span_len >= a.span_start + a.span_len
+      AND b.span_len > a.span_len)
+""")
+def rl_largest_matching(spark, sf_dir):
+    from ..linking import largest_matching_filter
+    d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "conv_id") \
+        .withColumn("turn_idx", F.lit(0))
+    m = explode_mentions(d, key_cols=("conv_id", "turn_idx"), max_n=2)
+    dict_df = m.groupBy("ngram").agg(F.count("*").alias("c")) \
+        .filter(F.col("c") >= 20).select("ngram")
+    matched = m.join(F.broadcast(dict_df), "ngram")
+    kept = largest_matching_filter(matched)
+    return kept.select(F.col("conv_id").alias("doc_id"),
+                       "span_start", "span_len", "ngram")
+
+
+_PAIR_MENTIONS_SQL = f"""
+  SELECT DISTINCT doc_id, token FROM ({_TOK_SQL})
+"""
+
+@q("rl_mention_pairs", f"""
+  WITH m AS (SELECT doc_id, token,
+                    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+             FROM ({_PAIR_MENTIONS_SQL}))
+  SELECT l.token AS block_key, l.doc_id AS left_doc, r.doc_id AS right_doc
+  FROM m l JOIN m r ON l.token = r.token
+  WHERE r.rk > l.rk AND r.rk - l.rk <= 3
+""")
+def rl_mention_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    m = (d.select("doc_id",
+                  F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), ""))
+                  .alias("token"))
+         .distinct()
+         .withColumn("rk", F.row_number().over(
+             Window.partitionBy("token").orderBy("doc_id"))))
+    l = m.select(F.col("token").alias("block_key"),
+                 F.col("doc_id").alias("left_doc"), F.col("rk").alias("rk_l"))
+    r = m.select(F.col("token").alias("block_key"),
+                 F.col("doc_id").alias("right_doc"), F.col("rk").alias("rk_r"))
+    return (l.join(r, "block_key")
+            .filter((F.col("rk_r") > F.col("rk_l"))
+                    & (F.col("rk_r") - F.col("rk_l") <= 3))
+            .select("block_key", "left_doc", "right_doc"))
+
+
+@q("rl_levenshtein", """
+  SELECT DISTINCT p_brand AS a, p_type AS b,
+         levenshtein(p_brand, p_type) AS lev
+  FROM part
+""")
+def rl_levenshtein(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    return (p.select(F.col("p_brand").alias("a"), F.col("p_type").alias("b"))
+            .distinct()
+            .withColumn("lev", F.levenshtein("a", "b").cast("bigint")))
+
+
+@q("rl_jaro_winkler", f"""
+  SELECT DISTINCT p_brand AS a, p_type AS b,
+         CAST(ROUND(jaro_winkler_similarity(p_brand, p_type) * {SCALE})
+              AS BIGINT) AS jw6
+  FROM part
+""")
+def rl_jaro_winkler(spark, sf_dir):
+    from ..pairs import jaro_winkler_udf
+    p = _read(spark, sf_dir, "part")
+    return (p.select(F.col("p_brand").alias("a"), F.col("p_type").alias("b"))
+            .distinct()
+            .withColumn("jw6", _r6(jaro_winkler_udf(F.col("a"), F.col("b")))))
+
+
+_EDGE_SQL = """
+  SELECT 'd' || lpad(CAST(a.doc_id AS VARCHAR), 6, '0') AS src,
+         'd' || lpad(CAST(b.doc_id AS VARCHAR), 6, '0') AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1
+   AND a.lang = b.lang
+"""
+
+@q("rl_connected_components", f"""
+  WITH RECURSIVE e AS ({_EDGE_SQL}),
+  sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e
+          UNION SELECT src, src FROM e UNION SELECT dst, dst FROM e),
+  reach(a, b) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+  )
+  SELECT a AS mention_id, min(b) AS cluster_id FROM reach GROUP BY a
+""")
+def rl_connected_components(spark, sf_dir):
+    import tempfile
+    from ..cluster import run_connected_components
+    from ..config import SemlinkConfig
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id"), "source", "lang")
+    b = d.select(F.col("doc_id").alias("doc_id2"),
+                 F.col("source").alias("s2"), F.col("lang").alias("l2"))
+    ident = lambda c: F.concat(F.lit("d"), F.lpad(F.col(c).cast("string"), 6, "0"))
+    edges = (a.join(b, (F.col("doc_id2") == F.col("doc_id") + 1)
+                    & (F.col("lang") == F.col("l2")))
+             .select(ident("doc_id").alias("src"), ident("doc_id2").alias("dst")))
+    ckpt = tempfile.mkdtemp(prefix="semlink_cc_oracle_")
+    return run_connected_components(edges, SemlinkConfig(), ckpt_dir=ckpt)

@@ -1,0 +1,88 @@
+"""Streaming queries (§2.10) — rows-only by design: the streaming
+engine has no ANSI-SQL oracle; determinism is pinned by pytest."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import q
+
+
+@q("stream_candidates_availablenow", None)   # rows-only: streaming engine
+def stream_candidates_availablenow(spark, sf_dir):
+    """§2.10: file-source micro-batch streaming linking (availableNow
+    trigger → memory sink); deterministic row set, engine-specific
+    execution — rows-only by design."""
+    import tempfile
+    from semlink.fixtures import generate, to_spark
+    from semlink.streaming import stream_candidates
+    d = to_spark(spark, generate("tiny"))
+    src = tempfile.mkdtemp(prefix="semlink_q_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="semlink_q_stream_ckpt_")
+    d["transcripts"].coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(d["transcripts"].schema).parquet(src)
+    out = stream_candidates(stream, d["anchors"])
+    qy = (out.select("mention_id", "target_id").writeStream
+          .format("memory").queryName("q_stream_cands")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(180)
+    return spark.sql("SELECT * FROM q_stream_cands")
+
+
+@q("stream_session_windows", None)   # rows-only: streaming engine
+def stream_session_windows(spark, sf_dir):
+    """§2.10: session-windowed per-conversation candidate counts
+    (windowed_mention_counts) via availableNow micro-batches — the
+    streaming analogue of the reference's rolling `context`.
+    Deterministic window bounds on the fixture; engine-specific
+    execution — rows-only by design (VERDICT r02 next #6)."""
+    import tempfile
+    from semlink.fixtures import generate, to_spark
+    from semlink.streaming import windowed_mention_counts
+    d = to_spark(spark, generate("tiny"))
+    src = tempfile.mkdtemp(prefix="semlink_q_swin_src_")
+    ckpt = tempfile.mkdtemp(prefix="semlink_q_swin_ckpt_")
+    d["transcripts"].coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(d["transcripts"].schema).parquet(src)
+    out = windowed_mention_counts(stream, d["anchors"], gap="30 minutes")
+    qy = (out.select("conv_id", F.col("w.start").alias("w_start"),
+                     F.col("w.end").alias("w_end"),
+                     "n_candidates", "n_entities")
+          .writeStream.format("memory").queryName("q_swin")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(180)
+    return spark.sql("SELECT * FROM q_swin")
+
+
+@q("stream_rolling_context", None)   # rows-only: stateful streaming engine
+def stream_rolling_context(spark, sf_dir):
+    """§2.10: the custom applyInPandasWithState rolling-context
+    operator (streaming.rolling_context) — bounded per-conversation
+    entity state, the reference's cross-request `context` parameter.
+    Deterministic on the fixture; state-store execution is
+    engine-specific — rows-only by design."""
+    import tempfile
+    from semlink.fixtures import generate, to_spark
+    from semlink.linking import candidate_join, generate_mentions
+    from semlink.streaming import rolling_context
+    d = to_spark(spark, generate("tiny"))
+    cands = (candidate_join(
+        generate_mentions(d["transcripts"]), d["anchors"])
+        .join(d["transcripts"].select("conv_id", "turn_idx", "ts"),
+              ["conv_id", "turn_idx"])
+        .select("conv_id", "target_id", "ts"))
+    src = tempfile.mkdtemp(prefix="semlink_q_rc_src_")
+    ckpt = tempfile.mkdtemp(prefix="semlink_q_rc_ckpt_")
+    cands.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(cands.schema).parquet(src)
+    out = rolling_context(stream, max_entities=16)
+    qy = (out.select("conv_id", "n_ctx",
+                     F.concat_ws(",", F.col("ctx_entities").cast("array<string>"))
+                     .alias("ctx"))
+          .writeStream.format("memory").queryName("q_rc")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(180)
+    return spark.sql("SELECT * FROM q_rc")

@@ -320,3 +320,24 @@ def test_decode_png_pixels_all_filter_types():
     assert decode_png_pixels(b"\x89PNG\r\n\x1a\nxx")["n_px"] is None
     assert decode_png_pixels(_encode_png(
         np.zeros((2, 2, 1), np.uint8), 0, [0])[:40])["n_px"] is None
+
+
+def test_word_token_count_matches_regex(spark):
+    """The translate-classify word-token counter (documented regex-free
+    alternative) must agree with regexp_extract_all run counting on
+    mixed alpha/digit/punctuation/unicode text."""
+    from pyspark.sql import functions as F
+
+    from semlink.datapipe.textstats import WORD_RE, word_token_count
+
+    rows = [(1, "a1b"), (2, "abc123 x"), (3, ""), (4, "...!?"),
+            (5, "héllo wörld 42"), (6, "x" * 100 + "9" * 80),
+            (7, "one-two three_four 5.6"), (8, "  spaced   out  7  ")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), 0))
+        .alias("rx"),
+        word_token_count(F.col("text")).alias("rc")).collect()
+    for r in got:
+        assert r.rx == r.rc, (r.doc_id, r.rx, r.rc)

@@ -44,11 +44,64 @@ if kernel == "cosine":
     dim = 64 if impl == "fixed" else None
     out = df.select(cosine_similarity("q_emb", "c_emb", impl=impl, dim=dim)
                     .alias("s")).agg(F.sum("s")).collect()[0][0]
-else:
+elif kernel == "minhash":
     from semlink.datapipe.dedup import minhash_signatures
     df = spark.read.parquet(%(docs)r)
     t0 = time.time()
     out = minhash_signatures(df, impl=impl).agg(F.max("mh_0")).collect()[0][0]
+elif kernel == "quality":
+    # round-4 rewrite (VERDICT r03 wrong #2): regex alpha-count vs
+    # translate-deletion alpha-count, full quality expression both ways
+    import semlink.datapipe.textstats as ts
+    df = spark.read.parquet(%(docs)r)
+    t0 = time.time()
+    if impl == "regex":
+        t = F.col("text")
+        d = ts.with_stopword_ratio(df)
+        ws = F.size(ts._tokens(t))
+        n_chars = F.length(t)
+        alpha = F.length(F.regexp_replace(t, r"[^A-Za-z ]", ""))
+        q = (F.lit(0.4) * F.least(ws / F.lit(50.0), F.lit(1.0))
+             + F.lit(0.3) * F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+             + F.lit(0.3) * F.least(F.col("stop_ratio") * 3.0, F.lit(1.0)))
+        out = d.select(q.alias("q")).agg(F.sum("q")).collect()[0][0]
+    else:
+        out = (ts.with_quality_score(df).agg(F.sum("quality_score"))
+               .collect()[0][0])
+elif kernel == "wordtok":
+    # regexp_extract_all run-count vs translate-classify + replace-collapse
+    import semlink.datapipe.textstats as ts
+    df = spark.read.parquet(%(docs)r)
+    t0 = time.time()
+    if impl == "regex":
+        out = df.select(F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(ts.WORD_RE), 0)).alias("w")) \
+            .agg(F.sum("w")).collect()[0][0]
+    else:
+        out = df.select(ts.word_token_count(F.col("text")).alias("w")) \
+            .agg(F.sum("w")).collect()[0][0]
+elif kernel == "fingerprint":
+    # round-4 rewrite (VERDICT r03 wrong #3): HOF transform string
+    # lambda vs exploded-shingle groupBy-min
+    import semlink.datapipe.textstats as ts
+    df = spark.read.parquet(%(docs)r)
+    t0 = time.time()
+    if impl == "hof":
+        t = F.col("text")
+        norm = F.regexp_replace(F.lower(F.trim(t)), r" +", " ")
+        toks = ts._tokens(t)
+        n = F.size(toks)
+        sh = F.when(
+            n >= 4,
+            F.transform(F.sequence(F.lit(0), n - 4),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 4)))),
+        ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+        out = (df.select(F.md5(norm).alias("fe"), F.array_min(sh).alias("fm"))
+               .agg(F.max("fe"), F.max("fm")).collect()[0][0])
+    else:
+        out = (ts.with_fingerprints(df)
+               .agg(F.max("fp_exact"), F.max("fp_min_shingle"))
+               .collect()[0][0])
 print("RESULT", time.time() - t0, out, flush=True)
 """
 
@@ -96,7 +149,10 @@ def main():
     gen(n_pairs, n_docs)
     only = os.environ.get("DPS_ONLY")
     for kernel, impls in (("cosine", ("sql", "arrow", "fixed")),
-                          ("minhash", ("hof", "exploded"))):
+                          ("minhash", ("hof", "exploded")),
+                          ("quality", ("regex", "translate")),
+                          ("wordtok", ("regex", "runs")),
+                          ("fingerprint", ("hof", "exploded"))):
         if only and kernel != only:
             continue
         row = {"kernel": kernel,
