@@ -51,3 +51,65 @@ def test_fit_separates_true_senses(spark, feat_cands, fx_tiny_dfs):
     p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
     acc = ((p > 0.5) == (y > 0.5)).mean()
     assert acc >= 0.8, acc
+
+
+def test_boosted_stumps_distributed_matches_numpy_mirror(spark):
+    """The distributed AdaBoost stump fit must reproduce a driver-side
+    numpy mirror EXACTLY (same stumps, same alphas) — the scaled-bigint
+    weight protocol makes every Spark aggregation integer-exact, so
+    there is no float-summation-order wiggle room — and reach ≥0.9
+    training accuracy on the separable toy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from semlink.learning import fit_boosted_stumps, stump_score_expr
+
+    d = (spark.range(200).select(
+        "id",
+        (((F.col("id") * 7) % 32 + 1) / 32.0).alias("x0"),
+        (((F.col("id") * 13) % 97) / 97.0).alias("x1"),
+        (((F.col("id") * 29) % 53) / 53.0).alias("x2"))
+        .withColumn("y", F.when((2.0 * F.col("x0") - F.col("x1")
+                                 + 0.5 * F.col("x2")) > 0.7, 1).otherwise(-1)))
+    got = fit_boosted_stumps(d, ["x0", "x1", "x2"], "y", rounds=6)
+
+    def mirror(X, y, rounds=6, thresholds=tuple(i / 20 for i in range(1, 20))):
+        n, k = X.shape
+        w9 = np.full(n, 10 ** 9, dtype=np.int64)
+        out = []
+        for rnd in range(rounds):
+            total9 = int(w9.sum())
+            best = None
+            for f in range(k):
+                for t in thresholds:
+                    pred = np.where(X[:, f] > t, 1, -1)
+                    e = int(w9[pred != y].sum())
+                    for pol, err in ((1, e), (-1, total9 - e)):
+                        key = (err, f, t, pol)
+                        if best is None or key < best:
+                            best = key
+            err9, f, t, pol = best
+            err9 = min(max(err9, 1), total9 - 1)
+            alpha = 0.5 * float(np.log((total9 - err9) / err9))
+            out.append({"rnd": rnd, "f_idx": f, "thr": t,
+                        "polarity": pol, "alpha": alpha})
+            pred = pol * np.where(X[:, f] > t, 1, -1)
+            up = np.where(pred != y, np.exp(alpha), np.exp(-alpha))
+            w9 = np.round(w9 * up).astype(np.int64)
+            t9 = int(w9.sum())
+            w9 = np.maximum(1, np.round(w9 * (n * 1e9 / t9))).astype(np.int64)
+        return out
+
+    ids = np.arange(200)
+    X = np.stack([((ids * 7) % 32 + 1) / 32.0,
+                  ((ids * 13) % 97) / 97.0,
+                  ((ids * 29) % 53) / 53.0], axis=1)
+    y = np.where(2 * X[:, 0] - X[:, 1] + 0.5 * X[:, 2] > 0.7, 1, -1)
+    assert got == mirror(X, y)
+
+    scored = d.withColumn(
+        "margin", stump_score_expr(got, ["x0", "x1", "x2"]))
+    acc = (scored.select(
+        (F.when(F.col("margin") > 0, 1).otherwise(-1) == F.col("y"))
+        .cast("int").alias("ok")).agg(F.avg("ok")).first()[0])
+    assert acc >= 0.9, acc
