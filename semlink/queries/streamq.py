@@ -86,3 +86,31 @@ def stream_rolling_context(spark, sf_dir):
           .trigger(availableNow=True).start())
     qy.awaitTermination(180)
     return spark.sql("SELECT * FROM q_rc")
+
+
+@q("stream_dedup_exact", None)   # rows-only: streaming state engine
+def stream_dedup_exact(spark, sf_dir):
+    """Ingest-time exact dedup via dropDuplicatesWithinWatermark
+    (bounded digest state, watermark-evicted) — duplicate docs planted
+    across micro-batches are suppressed; deterministic survivor set on
+    the fixture, engine-specific execution — rows-only by design
+    (pytest pins in-batch, cross-batch, and null=='' digest cases)."""
+    import datetime
+    import tempfile
+    from semlink.streaming import stream_dedup_documents
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, f"text {i % 7}", t0 + datetime.timedelta(seconds=i))
+            for i in range(40)]
+    schema = "doc_id long, text string, ts timestamp"
+    src = tempfile.mkdtemp(prefix="semlink_q_sdd_src_")
+    ckpt = tempfile.mkdtemp(prefix="semlink_q_sdd_ckpt_")
+    spark.createDataFrame(rows, schema).coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_dedup_documents(stream)
+    qy = (out.select("doc_id", "text_hash").writeStream
+          .format("memory").queryName("q_sdd")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+    return spark.sql("SELECT * FROM q_sdd")

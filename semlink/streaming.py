@@ -73,6 +73,35 @@ def windowed_mention_counts(transcript_stream: DataFrame, anchors: DataFrame,
                  F.approx_count_distinct("target_id").alias("n_entities")))
 
 
+def stream_dedup_documents(doc_stream: DataFrame,
+                           watermark: str = "10 minutes",
+                           text_col: str = "text") -> DataFrame:
+    """Streaming EXACT dedup at ingest — the training-data pipeline's
+    duplicate suppression running continuously on the document/turn
+    stream instead of as a batch pass: rows whose content digest
+    (md5(text), the same key as batch dedup.exact_dedup) was already
+    seen within the watermark horizon are dropped by
+    ``dropDuplicatesWithinWatermark``.
+
+    Scale shape: state is ONE digest row per distinct content hash,
+    hash-partitioned by the state store, and the watermark EVICTS
+    digests older than the horizon — bounded state on an unbounded
+    stream (a plain dropDuplicates would grow state forever). Exact
+    cross-horizon dedup remains the batch job's responsibility; this
+    operator is the standard near-the-source guard that keeps
+    duplicate-heavy feeds (retries, re-crawls, at-least-once sources)
+    from amplifying downstream shuffle volume.
+
+    NULL text coalesces to '' first — the same null convention as the
+    batch shingle/dedup family (ADVICE r03).
+    """
+    d = doc_stream.withWatermark("ts", watermark)
+    return (d.withColumn(
+                "text_hash",
+                F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+            .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
 def progress_metrics(query) -> dict:
     """Late-data visibility (O2 tie-in): totals from the streaming
     query's recentProgress — rows dropped by the watermark surface here

@@ -294,3 +294,42 @@ def test_rolling_context_rocksdb_state_store(spark, tmp_path):
     cb = [r for r in rows if r.conv_id == "cB"]
     assert sorted(tuple(r.ctx_entities) for r in ca) == [(1, 2), (2, 3)]
     assert sorted(tuple(r.ctx_entities) for r in cb) == [(7,), (8, 9)]
+
+
+def test_stream_dedup_documents_bounded_state(spark, tmp_path):
+    """Ingest-time exact dedup: a duplicate document arriving in a
+    LATER micro-batch (within the watermark horizon) is dropped by
+    state, while new content and null/empty-text conventions match the
+    batch dedup family (null == '' digest)."""
+    import datetime
+
+    from semlink.streaming import stream_dedup_documents
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id long, text string, ts timestamp"
+    src = tmp_path / "sd_src"
+    b1 = [(1, "alpha beta", t0),
+          (2, "alpha beta", t0 + datetime.timedelta(seconds=30)),  # in-batch dup
+          (3, "gamma", t0 + datetime.timedelta(minutes=1)),
+          (4, None, t0 + datetime.timedelta(minutes=1))]
+    b2 = [(5, "alpha beta", t0 + datetime.timedelta(minutes=2)),   # cross-batch dup
+          (6, "delta", t0 + datetime.timedelta(minutes=3)),
+          (7, "", t0 + datetime.timedelta(minutes=3))]             # '' == null digest
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    import time as _t
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = stream_dedup_documents(stream, watermark="10 minutes")
+    q = (out.select("doc_id").writeStream.format("memory")
+         .queryName("sd_t")
+         .option("checkpointLocation", str(tmp_path / "sd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("select * from sd_t").collect())
+    # survivors: first "alpha beta" (1), "gamma" (3), null (4);
+    # dropped: 2 (in-batch dup), 5 (cross-batch dup via state),
+    # 7 ('' collides with null's digest); new content 6 survives
+    assert got == [1, 3, 4, 6], got
