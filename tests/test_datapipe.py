@@ -341,3 +341,113 @@ def test_word_token_count_matches_regex(spark):
         word_token_count(F.col("text")).alias("rc")).collect()
     for r in got:
         assert r.rx == r.rc, (r.doc_id, r.rx, r.rc)
+
+
+def _encode_gif(idx, w, h, palette, min_code_size=None):
+    """Reference GIF encoder for decoder tests: real variable-width LZW
+    (CLEAR first, EOI last, width bumps as the table grows) over an
+    indexed image, global color table, one image descriptor."""
+    import struct
+
+    ncolors = len(palette) // 3
+    bits = max(2, (ncolors - 1).bit_length())
+    if min_code_size is None:
+        min_code_size = bits
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    width = min_code_size + 1
+    widths = []
+    prev = b""
+    for px in idx:
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+        else:
+            codes.append(table[prev])
+            widths.append(width)
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            prev = bytes([px])
+    codes.append(table[prev])
+    widths.append(width)
+    codes.append(eoi)
+    widths.append(width)
+    # first CLEAR goes at the initial width
+    widths.insert(0, min_code_size + 1)
+
+    bits_out = bytearray()
+    acc = 0
+    nacc = 0
+    for c, wd in zip(codes, widths):
+        acc |= c << nacc
+        nacc += wd
+        while nacc >= 8:
+            bits_out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        bits_out.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    pal_bits = max(1, bits)
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (pal_bits - 1), 0, 0])
+    full = 3 * (2 << (pal_bits - 1))
+    out += palette + b"\x00" * (full - len(palette))
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code_size])
+    data = bytes(bits_out)
+    for j in range(0, len(data), 255):
+        chunk = data[j:j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def test_decode_gif_pixels_lzw_roundtrip():
+    """decode_gif_pixels must invert real variable-width LZW (including
+    the KwKwK repeat case and width growth past table-size boundaries)
+    and map indices through the palette — digest equals
+    md5(hex(palette-mapped RGB))."""
+    import hashlib
+
+    import numpy as np
+
+    from semlink.datapipe.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(7)
+    palette = bytes(rng.integers(0, 256, size=12, dtype=np.uint8))  # 4 colors
+    w, h = 13, 9
+    cases = {
+        "random": rng.integers(0, 4, size=w * h, dtype=np.uint8).tobytes(),
+        "repetitive_kwkwk": (b"\x02\x02\x02\x03\x03\x03" * 30)[:w * h],
+        "constant": b"\x01" * (w * h),
+    }
+    for name, idx in cases.items():
+        gif = _encode_gif(idx, w, h, palette)
+        got = decode_gif_pixels(gif)
+        rgb = b"".join(palette[3 * px:3 * px + 3] for px in idx)
+        assert got["n_px"] == w * h, name
+        assert got["px_digest"] == hashlib.md5(
+            rgb.hex().encode()).hexdigest(), name
+        assert abs(got["mean"] - sum(rgb) / len(rgb)) < 1e-9, name
+
+    # many-color image forces code-width growth beyond the initial width
+    palette256 = bytes(rng.integers(0, 256, size=768, dtype=np.uint8))
+    idx256 = rng.integers(0, 256, size=40 * 20, dtype=np.uint8).tobytes()
+    gif = _encode_gif(idx256, 40, 20, palette256)
+    got = decode_gif_pixels(gif)
+    rgb = b"".join(palette256[3 * px:3 * px + 3] for px in idx256)
+    assert got["n_px"] == 800
+    assert got["px_digest"] == hashlib.md5(rgb.hex().encode()).hexdigest()
+
+    # garbage / truncated / non-GIF: null stats, never a raise
+    assert decode_gif_pixels(b"")["n_px"] is None
+    assert decode_gif_pixels(b"GIF89a\x01")["n_px"] is None
+    assert decode_gif_pixels(gif[:30])["n_px"] is None
