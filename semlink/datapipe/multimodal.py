@@ -339,6 +339,45 @@ def decode_gif_pixels(payload: bytes) -> dict:
         return none
 
 
+def decode_wav_samples(payload: bytes) -> dict:
+    """REAL audio decode for 16-bit PCM WAV (pure stdlib + numpy):
+    RIFF chunk walk → fmt validation (PCM, 16-bit) → int16-LE sample
+    stream. Same stats contract as the image decoders:
+    {n_samples, mean, digest} with digest = md5(hex(raw PCM bytes)) —
+    an exact witness of every decoded byte. Null stats for non-WAV /
+    compressed / truncated payloads (never raises)."""
+    import hashlib
+
+    import numpy as np
+
+    none = {"n_samples": None, "mean": None, "digest": None}
+    p = payload or b""
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return none
+    try:
+        i = 12
+        fmt_ok = False
+        data = None
+        while i + 8 <= len(p):
+            cid, ln = p[i:i + 4], struct.unpack("<I", p[i + 4:i + 8])[0]
+            body = p[i + 8:i + 8 + ln]
+            if cid == b"fmt ":
+                audio_fmt, _n_ch = struct.unpack("<HH", body[0:4])
+                bits = struct.unpack("<H", body[14:16])[0]
+                fmt_ok = (audio_fmt == 1 and bits == 16)
+            elif cid == b"data":
+                data = body
+            i += 8 + ln + (ln & 1)          # chunks are word-aligned
+        if not fmt_ok or data is None or len(data) % 2:
+            return none
+        arr = np.frombuffer(data, dtype="<i2")
+        return {"n_samples": int(arr.size),
+                "mean": float(np.mean(arr)) if arr.size else 0.0,
+                "digest": hashlib.md5(data.hex().encode()).hexdigest()}
+    except (struct.error, IndexError, ValueError):
+        return none
+
+
 def _be4(col):
     """int column → 4 big-endian bytes, as a binary expression."""
     return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
@@ -429,6 +468,79 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
         F.lit("image/png").alias("mime"),
         F.unhex(payload_hex).alias("payload"),
     ).withColumn("n_bytes", F.length("payload").cast("long"))
+
+
+def _hex4le(col):
+    """int (< 2^32) → 4 little-endian bytes as 8 hex chars."""
+    return F.concat(_hex2(col % 256),
+                    _hex2(F.floor(col / 256) % 256),
+                    _hex2(F.floor(col / 65536) % 256),
+                    _hex2(F.floor(col / 16777216)))
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic synthetic audio: a COMPLETE valid 16-bit PCM WAV
+    (RIFF/WAVE + fmt + data chunks) from pure JVM string/arithmetic
+    expressions — the audio sibling of synthesize_media's PNG.
+    Channel count (1-2), frame count (1-256), sample rate, and the
+    constant per-channel amplitudes all derive from md5(text); the
+    data chunk is the per-frame LE16 sample pattern repeated, so the
+    decoder's sample stream, mean, and digest are all predictable from
+    the generator parameters in ANSI SQL (the media_audio oracle)."""
+    d = F.md5(F.col(text_col))
+    n_ch = (1 + F.conv(F.substring(d, 11, 1), 16, 10).cast("bigint") % 2)
+    frames = 1 + F.conv(F.substring(d, 12, 2), 16, 10).cast("bigint")
+    rate = F.lit(8000).cast("bigint") * n_ch
+    # non-negative int16 amplitudes: nibble * 1000 (0..15000)
+    a = [F.conv(F.substring(d, 13 + ch, 1), 16, 10).cast("bigint") * 1000
+         for ch in range(2)]
+    le16 = lambda c: F.concat(_hex2(c % 256), _hex2(F.floor(c / 256)))
+    pattern = F.concat(le16(a[0]),
+                       F.when(n_ch > 1, le16(a[1])).otherwise(F.lit("")))
+    data_bytes = frames * n_ch * 2
+    payload_hex = F.concat(
+        F.lit("52494646"), _hex4le(36 + data_bytes), F.lit("57415645"),
+        F.lit("666D7420"), _hex4le(F.lit(16).cast("bigint")),
+        F.lit("0100"),                         # PCM
+        le16(n_ch),
+        _hex4le(rate), _hex4le(rate * n_ch * 2),
+        le16(n_ch * 2), F.lit("1000"),         # block align, 16 bits
+        F.lit("64617461"), _hex4le(data_bytes),
+        F.repeat(pattern, frames.cast("int")),
+    )
+    return df.select(
+        F.concat(F.lit("a"), F.col(id_col).cast("string")).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.unhex(payload_hex).alias("payload"),
+    ).withColumn("n_bytes", F.length("payload").cast("long"))
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("n_samples", LongType(), True),
+    StructField("mean", DoubleType(), True),
+    StructField("digest", StringType(), True),
+])
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PCM decode over WAV payloads — the audio
+    analogue of extract_pixel_stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_wav_samples(p) for p in pdf["payload"]]
+            sd = pd.DataFrame(stats)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_samples": sd["n_samples"].astype("Int64"),
+                "mean": sd["mean"].astype("float64"),
+                "digest": sd["digest"],
+            })
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:

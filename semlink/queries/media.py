@@ -74,3 +74,43 @@ def media_pixels(spark, sf_dir):
     return (extract_pixel_stats(media)
             .select("media_id", "n_px", _r6(F.col("mean")).alias("mean6"),
                     "px_digest"))
+
+
+@q("media_audio", f"""
+  WITH p AS (SELECT doc_id,
+               1 + CAST(('0x' || substr(md5(text), 11, 1)) AS BIGINT) % 2
+                 AS n_ch,
+               1 + CAST(('0x' || substr(md5(text), 12, 2)) AS BIGINT)
+                 AS frames,
+               CAST(('0x' || substr(md5(text), 13, 1)) AS BIGINT) * 1000
+                 AS a0,
+               CAST(('0x' || substr(md5(text), 14, 1)) AS BIGINT) * 1000
+                 AS a1
+             FROM documents)
+  SELECT 'a' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(frames * n_ch AS BIGINT) AS n_samples,
+         CAST(ROUND(CAST(a0 + CASE WHEN n_ch > 1 THEN a1 ELSE 0 END
+                         AS DOUBLE) / n_ch * {SCALE}) AS BIGINT) AS mean6,
+         md5(repeat(
+               lpad(lower(to_hex(a0 % 256)), 2, '0')
+               || lpad(lower(to_hex(a0 // 256)), 2, '0')
+               || CASE WHEN n_ch > 1 THEN
+                    lpad(lower(to_hex(a1 % 256)), 2, '0')
+                    || lpad(lower(to_hex(a1 // 256)), 2, '0')
+                  ELSE '' END,
+               CAST(frames AS INTEGER))) AS digest
+  FROM p
+""")
+def media_audio(spark, sf_dir):
+    """REAL audio decode round trip: JVM-synthesized valid 16-bit PCM
+    WAVs (RIFF/fmt/data from pure SQL hex expressions, md5-derived
+    channel count / frame count / amplitudes) → decode_wav_samples
+    (RIFF chunk walk + numpy int16 stream); the oracle predicts the
+    sample count, exact mean, and md5(hex(PCM bytes)) from the
+    generator parameters, so an endianness, chunk-walk, or
+    sample-width bug hash-mismatches."""
+    from ..datapipe.multimodal import extract_audio_stats, synthesize_audio
+    media = synthesize_audio(_docs(spark, sf_dir))
+    return (extract_audio_stats(media)
+            .select("media_id", "n_samples",
+                    _r6(F.col("mean")).alias("mean6"), "digest"))

@@ -451,3 +451,49 @@ def test_decode_gif_pixels_lzw_roundtrip():
     assert decode_gif_pixels(b"")["n_px"] is None
     assert decode_gif_pixels(b"GIF89a\x01")["n_px"] is None
     assert decode_gif_pixels(gif[:30])["n_px"] is None
+
+
+def test_decode_wav_samples_against_stdlib_wave():
+    """decode_wav_samples must agree with a WAV written by the stdlib
+    wave module (known-good external reference), handle odd-length
+    chunk padding, and reject non-PCM / truncated payloads."""
+    import hashlib
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from semlink.datapipe.multimodal import decode_wav_samples
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    got = decode_wav_samples(buf.getvalue())
+    assert got["n_samples"] == 777
+    assert abs(got["mean"] - float(np.mean(pcm))) < 1e-9
+    assert got["digest"] == hashlib.md5(
+        pcm.tobytes().hex().encode()).hexdigest()
+
+    # chunk walk: an odd-length LIST chunk before data must be
+    # word-aligned-skipped, not desync the parse
+    base = buf.getvalue()
+    fmt_chunk = base[12:36]           # "fmt " + 16-byte body
+    data_chunk = base[36:]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"   # pad byte
+    body = b"WAVE" + fmt_chunk + odd + data_chunk
+    wav2 = b"RIFF" + struct.pack("<I", len(body)) + body
+    got2 = decode_wav_samples(wav2)
+    assert got2["digest"] == got["digest"]
+
+    # non-PCM (format 3 = float) and truncations: null, never raise
+    mutable = bytearray(base)
+    mutable[20] = 3
+    assert decode_wav_samples(bytes(mutable))["n_samples"] is None
+    assert decode_wav_samples(base[:40])["n_samples"] is None
+    assert decode_wav_samples(b"")["n_samples"] is None
