@@ -45,7 +45,7 @@ HEADLINE = [
     "ann_brute_force_topk", "ann_ivf_cell_topk",
     "ann_kmeans_centroids", "ann_ivf_near_dup_edges",
     "text_quality_score", "text_fingerprints", "media_features",
-    "media_pixels", "text_langid",
+    "media_pixels", "media_audio", "text_langid",
     "agg_pricing_summary",
 ]
 
@@ -54,7 +54,7 @@ HEADLINE = [
 # on the shared list, not the grown one (VERDICT r02 next #7).
 # text_langid existed before but was upgraded in place (stopword-ratio
 # heuristic → profile argmax) and was not in the r03 headline.
-NEW_QUERIES = ["media_pixels", "text_langid"]
+NEW_QUERIES = ["media_pixels", "media_audio", "text_langid"]
 
 
 def ensure_bench_fixture(spark) -> str:
