@@ -497,3 +497,59 @@ def test_decode_wav_samples_against_stdlib_wave():
     assert decode_wav_samples(bytes(mutable))["n_samples"] is None
     assert decode_wav_samples(base[:40])["n_samples"] is None
     assert decode_wav_samples(b"")["n_samples"] is None
+
+
+def test_decode_gif_pixels_uncompressed_trick():
+    """Second, INDEPENDENT encoding strategy: the classic
+    'uncompressed GIF' trick emits a CLEAR before the table can grow,
+    so every pixel is a literal code at fixed width — no dictionary at
+    all. A decoder bug in CLEAR handling or width bookkeeping that a
+    matching encoder/decoder pair could hide shows up here."""
+    import hashlib
+
+    import numpy as np
+
+    from semlink.datapipe.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(3)
+    palette = bytes(rng.integers(0, 256, size=24, dtype=np.uint8))  # 8 colors
+    w, h = 11, 6
+    idx = rng.integers(0, 8, size=w * h, dtype=np.uint8).tobytes()
+
+    min_code = 3
+    clear, eoi = 8, 9
+    width = min_code + 1
+    # CLEAR, px, CLEAR, px, ..., EOI — table never grows past the
+    # reserved codes, so the width never changes
+    codes = []
+    for px in idx:
+        codes += [clear, px]
+    codes.append(eoi)
+    acc = nacc = 0
+    bits_out = bytearray()
+    for c in codes:
+        acc |= c << nacc
+        nacc += width
+        while nacc >= 8:
+            bits_out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        bits_out.append(acc & 0xFF)
+
+    import struct
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HH", w, h) + bytes([0x80 | 2, 0, 0])  # 8-color GCT
+    gif += palette
+    gif += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    gif += bytes([min_code])
+    data = bytes(bits_out)
+    for j in range(0, len(data), 255):
+        chunk = data[j:j + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3B"
+
+    got = decode_gif_pixels(bytes(gif))
+    rgb = b"".join(palette[3 * px:3 * px + 3] for px in idx)
+    assert got["n_px"] == w * h
+    assert got["px_digest"] == hashlib.md5(rgb.hex().encode()).hexdigest()
