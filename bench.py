@@ -111,13 +111,14 @@ def main() -> None:
         # separate executor JVMs spawn their own Python workers, which
         # don't inherit the driver's sys.path — ship the engine the
         # same way spark-submit --py-files does
+        # ALWAYS rebuild (~1 s): a cached zip would silently ship stale
+        # engine code to executors after a source edit, measuring code
+        # that no longer matches the repo
         repo = os.path.dirname(os.path.abspath(__file__))
-        zip_path = os.path.join(repo, "semlink.zip")
-        if not os.path.exists(zip_path):
-            import subprocess
-            subprocess.run(["sh", os.path.join(repo, "tools",
-                                               "make_pyfiles.sh")], check=True)
-        spark.sparkContext.addPyFile(zip_path)
+        import subprocess
+        subprocess.run(["sh", os.path.join(repo, "tools",
+                                           "make_pyfiles.sh")], check=True)
+        spark.sparkContext.addPyFile(os.path.join(repo, "semlink.zip"))
     else:
         spark = get_spark("semlink-bench", cores=cpus,
                           shuffle_partitions=cpus)

@@ -40,9 +40,15 @@ def _tokens(col: Column) -> Column:
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Exact duplicate groups: digest → (keeper, dup_count)."""
+    """Exact duplicate groups: digest → (keeper, dup_count).
+
+    NULL text coalesces to '' before hashing — the family-wide null
+    convention (shingles, fingerprints, and the STREAMING ingest dedup
+    all treat null and empty text as the same document content), so
+    batch and streaming exact dedup agree on the survivor sets."""
     return (df
-            .withColumn("text_hash", F.md5(F.col(text_col)))
+            .withColumn("text_hash",
+                        F.md5(F.coalesce(F.col(text_col), F.lit(""))))
             .groupBy("text_hash")
             .agg(F.min(id_col).alias("keeper_doc_id"),
                  F.count("*").alias("dup_count")))

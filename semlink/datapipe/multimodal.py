@@ -153,13 +153,15 @@ def decode_png_pixels(payload: bytes) -> dict:
     if p[:8] != b"\x89PNG\r\n\x1a\n":
         return none
     try:
-        i, idat, w, h, bd, ct = 8, [], None, None, None, None
+        i, idat, w, h, bd, ct, plte = 8, [], None, None, None, None, b""
         while i + 8 <= len(p):
             ln, typ = struct.unpack(">I4s", p[i:i + 8])
             data = p[i + 8:i + 8 + ln]
             if typ == b"IHDR":
                 w, h = struct.unpack(">II", data[:8])
                 bd, ct = data[8], data[9]
+            elif typ == b"PLTE":
+                plte = data
             elif typ == b"IDAT":
                 idat.append(data)
             elif typ == b"IEND":
@@ -201,6 +203,17 @@ def decode_png_pixels(payload: bytes) -> dict:
                 return none
             out[r] = rec
             prev = rec.astype(np.int64)
+        if ct == 3:
+            # indexed color: map palette indices through PLTE to RGB
+            # (stats over raw indices would be silently wrong — the
+            # GIF decoder maps its palette, so must this path)
+            if not plte or len(plte) % 3:
+                return none
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            idx = out.reshape(-1)
+            if int(idx.max(initial=0)) >= len(pal):
+                return none
+            out = pal[idx]
         pix = out.tobytes()
         return {"n_px": w * h,
                 "mean": float(np.mean(out)),

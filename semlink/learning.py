@@ -138,6 +138,7 @@ def fit_boosted_stumps(feats: DataFrame, feature_cols: list[str],
     ).localCheckpoint(eager=True)
 
     stumps: list[dict] = []
+    n = d.count()          # constant across rounds — one action, hoisted
     for rnd in range(rounds):
         total9 = d.agg(F.sum("w9")).first()[0]
         x = F.element_at("fx", F.col("f_idx") + 1)
@@ -166,7 +167,6 @@ def fit_boosted_stumps(feats: DataFrame, feature_cols: list[str],
         # deterministic renormalization to ~1e9 per row (exact integer
         # total; per-row double multiply is order-independent)
         t9 = d.agg(F.sum("w9")).first()[0]
-        n = d.count()
         d = (d.withColumn(
                 "w9",
                 F.greatest(F.lit(1), F.round(

@@ -106,7 +106,13 @@ def generate_mentions(transcripts: DataFrame,
                 # so gate here on the unicode-normalized leading RAW
                 # token for identical batch/streaming mention sets
                 # (ADVICE r03; punctuation-led CJK span pinned in
-                # tests/test_streaming.py)
+                # tests/test_streaming.py). Known cost: this is a
+                # SECOND pandas-UDF pass over the exploded mentions on
+                # top of the whole-ngram one — unavoidable in
+                # streaming (a distinct-lead-token reduction would
+                # need stateful distinct, and pandas UDFs can't run
+                # inside the HOF explode); micro-batches are small, so
+                # the extra Arrow round trip is bounded per trigger.
                 m = (m.withColumn(
                         "_lead_norm",
                         normalize_unicode_udf(

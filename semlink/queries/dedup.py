@@ -9,9 +9,10 @@ from . import SCALE, _docs, _r6, q
 
 
 @q("dedup_exact", """
-  SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+  SELECT md5(coalesce(text, '')) AS text_hash,
+         min(doc_id) AS keeper_doc_id,
          count(*) AS dup_count
-  FROM documents GROUP BY md5(text)
+  FROM documents GROUP BY md5(coalesce(text, ''))
 """)
 def dedup_exact(spark, sf_dir):
     return dd.exact_dedup(_docs(spark, sf_dir))

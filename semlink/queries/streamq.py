@@ -92,8 +92,11 @@ def stream_rolling_context(spark, sf_dir):
 def stream_dedup_exact(spark, sf_dir):
     """Ingest-time exact dedup via dropDuplicatesWithinWatermark
     (bounded digest state, watermark-evicted) — duplicate docs planted
-    across micro-batches are suppressed; deterministic survivor set on
-    the fixture, engine-specific execution — rows-only by design
+    across micro-batches are suppressed. The emitted set is the
+    DISTINCT surviving digests: which doc_id wins a duplicate group is
+    arrival-order-dependent (first-wins state, like any streaming
+    dedup), so the entry reports only the order-invariant survivor
+    digest set; engine-specific execution — rows-only by design
     (pytest pins in-batch, cross-batch, and null=='' digest cases)."""
     import datetime
     import tempfile
@@ -113,4 +116,4 @@ def stream_dedup_exact(spark, sf_dir):
           .option("checkpointLocation", ckpt)
           .trigger(availableNow=True).start())
     qy.awaitTermination(120)
-    return spark.sql("SELECT * FROM q_sdd")
+    return spark.sql("SELECT DISTINCT text_hash FROM q_sdd")

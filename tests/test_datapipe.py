@@ -248,10 +248,11 @@ def test_lang_id_known_language_docs(spark):
     assert got[8] == ("und", 0)
 
 
-def _encode_png(img, ct, filters):
+def _encode_png(img, ct, filters, palette=None):
     """Reference PNG encoder for decoder tests: real zlib compression,
     one caller-chosen filter type per scanline (forward-filtered per
-    RFC 2083 §6 so the decoder must invert each type)."""
+    RFC 2083 §6 so the decoder must invert each type); optional PLTE
+    chunk for indexed (color type 3) images."""
     import struct
     import zlib
 
@@ -288,7 +289,8 @@ def _encode_png(img, ct, filters):
                 + struct.pack(">I", zlib.crc32(typ + data)))
 
     ihdr = struct.pack(">II", w, h) + bytes([8, ct, 0, 0, 0])
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    plte = chunk(b"PLTE", palette) if palette else b""
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + plte
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
 
@@ -314,6 +316,28 @@ def test_decode_png_pixels_all_filter_types():
             assert got["px_digest"] == hashlib.md5(
                 want.hex().encode()).hexdigest(), (ct, filters)
             assert abs(got["mean"] - float(np.mean(img))) < 1e-9
+
+    # indexed color (type 3): indices map through PLTE to RGB — raw
+    # index stats would be silently wrong (mean over a white image
+    # whose only palette slot is index 0 must be 255, not 0)
+    palette = bytes(rng.integers(0, 256, size=15, dtype=np.uint8))
+    idx_img = rng.integers(0, 5, size=(6, 4, 1), dtype=np.uint8)
+    png3 = _encode_png(idx_img, 3, [0, 1, 2], palette=palette)
+    got3 = decode_png_pixels(png3)
+    rgb = b"".join(palette[3 * int(v):3 * int(v) + 3]
+                   for v in idx_img.reshape(-1))
+    assert got3["n_px"] == 24
+    assert got3["px_digest"] == hashlib.md5(rgb.hex().encode()).hexdigest()
+    assert abs(got3["mean"] - sum(rgb) / len(rgb)) < 1e-9
+    white = _encode_png(np.zeros((2, 2, 1), np.uint8), 3, [0],
+                        palette=b"\xff\xff\xff")
+    assert abs(decode_png_pixels(white)["mean"] - 255.0) < 1e-9
+    # indexed without PLTE, or out-of-range index: null stats
+    assert decode_png_pixels(_encode_png(
+        idx_img, 3, [0]))["n_px"] is None
+    assert decode_png_pixels(_encode_png(
+        np.full((2, 2, 1), 9, np.uint8), 3, [0],
+        palette=palette))["n_px"] is None
 
     # garbage / truncated / non-PNG payloads: null stats, no raise
     assert decode_png_pixels(b"")["n_px"] is None

@@ -95,9 +95,12 @@ def test_boosted_stumps_distributed_matches_numpy_mirror(spark):
                         "polarity": pol, "alpha": alpha})
             pred = pol * np.where(X[:, f] > t, 1, -1)
             up = np.where(pred != y, np.exp(alpha), np.exp(-alpha))
-            w9 = np.round(w9 * up).astype(np.int64)
+            # floor(x+0.5): HALF_UP like Spark's F.round (np.round is
+            # banker's half-to-even and would diverge on exact .5)
+            w9 = np.floor(w9 * up + 0.5).astype(np.int64)
             t9 = int(w9.sum())
-            w9 = np.maximum(1, np.round(w9 * (n * 1e9 / t9))).astype(np.int64)
+            w9 = np.maximum(1, np.floor(w9 * (n * 1e9 / t9)
+                                        + 0.5)).astype(np.int64)
         return out
 
     ids = np.arange(200)
