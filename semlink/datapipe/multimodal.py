@@ -154,12 +154,18 @@ def decode_png_pixels(payload: bytes) -> dict:
         return none
     try:
         i, idat, w, h, bd, ct, plte = 8, [], None, None, None, None, b""
+        interlace = 0
         while i + 8 <= len(p):
             ln, typ = struct.unpack(">I4s", p[i:i + 8])
             data = p[i + 8:i + 8 + ln]
             if typ == b"IHDR":
                 w, h = struct.unpack(">II", data[:8])
                 bd, ct = data[8], data[9]
+                # data[12] is the interlace byte; Adam7 scanlines are
+                # pass-ordered, not sequential — reject rather than
+                # decode a layout this unfilter loop does not support
+                # (ADVICE r04; the GIF path already rejects interlaced)
+                interlace = data[12] if len(data) >= 13 else 1
             elif typ == b"PLTE":
                 plte = data
             elif typ == b"IDAT":
@@ -167,7 +173,8 @@ def decode_png_pixels(payload: bytes) -> dict:
             elif typ == b"IEND":
                 break
             i += 12 + ln
-        if not idat or bd != 8 or ct not in _PNG_CHANNELS or not w or not h:
+        if (not idat or bd != 8 or ct not in _PNG_CHANNELS
+                or not w or not h or interlace != 0):
             return none
         c = _PNG_CHANNELS[ct]
         raw = zlib.decompress(b"".join(idat))

@@ -223,7 +223,9 @@ def with_fingerprints(df: DataFrame, id_col: str = "doc_id",
     whitespace collapse in fp_exact is the regex-free bounded-replace
     fold (regexp only on pathological >64-space runs)."""
     from .dedup import shingles_exploded
-    t = F.col(text_col)
+    # null text coalesces to '' — the family-wide null==empty convention
+    # (shingles, streaming dedup, batch exact dedup); ADVICE r04
+    t = F.coalesce(F.col(text_col), F.lit(""))
     norm = _collapse_runs(F.lower(F.trim(t)), " ")
     mins = (shingles_exploded(df, id_col, text_col, shingle)
             .groupBy(id_col)

@@ -98,7 +98,8 @@ def text_quality_score(spark, sf_dir):
 
 @q("text_fingerprints", """
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_exact,
+         md5(regexp_replace(lower(trim(coalesce(text, ''))), ' +', ' ', 'g'))
+           AS fp_exact,
          list_min(CASE WHEN len(toks) >= 4 THEN
              list_transform(generate_series(1, len(toks) - 3),
                             i -> md5(array_to_string(toks[i : i + 3], ' ')))

@@ -75,7 +75,8 @@ def windowed_mention_counts(transcript_stream: DataFrame, anchors: DataFrame,
 
 def stream_dedup_documents(doc_stream: DataFrame,
                            watermark: str = "10 minutes",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           ts_col: str = "ts") -> DataFrame:
     """Streaming EXACT dedup at ingest — the training-data pipeline's
     duplicate suppression running continuously on the document/turn
     stream instead of as a batch pass: rows whose content digest
@@ -95,7 +96,7 @@ def stream_dedup_documents(doc_stream: DataFrame,
     NULL text coalesces to '' first — the same null convention as the
     batch shingle/dedup family (ADVICE r03).
     """
-    d = doc_stream.withWatermark("ts", watermark)
+    d = doc_stream.withWatermark(ts_col, watermark)
     return (d.withColumn(
                 "text_hash",
                 F.md5(F.coalesce(F.col(text_col), F.lit(""))))

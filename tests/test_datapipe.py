@@ -345,6 +345,26 @@ def test_decode_png_pixels_all_filter_types():
     assert decode_png_pixels(_encode_png(
         np.zeros((2, 2, 1), np.uint8), 0, [0])[:40])["n_px"] is None
 
+    # Adam7-interlaced PNGs (IHDR interlace byte = 1) are rejected,
+    # never decoded with sequential-scanline assumptions (ADVICE r04);
+    # the interlace byte is the 13th IHDR data byte → file offset 28
+    seq = _encode_png(np.zeros((2, 2, 1), np.uint8), 0, [0])
+    assert decode_png_pixels(seq[:28] + b"\x01" + seq[29:])["n_px"] is None
+
+
+def test_fingerprint_null_text_equals_empty(spark):
+    """fp_exact follows the family-wide null==empty convention (ADVICE
+    r04): a null-text doc fingerprints identically to an empty-text
+    doc, matching exact_dedup / shingles / streaming dedup."""
+    from semlink.datapipe.textstats import with_fingerprints
+
+    d = spark.createDataFrame([(1, None), (2, ""), (3, "   ")],
+                              "doc_id int, text string")
+    rows = {r.doc_id: r.fp_exact
+            for r in with_fingerprints(d).collect()}
+    assert rows[1] is not None
+    assert rows[1] == rows[2] == rows[3]
+
 
 def test_word_token_count_matches_regex(spark):
     """The translate-classify word-token counter (documented regex-free
