@@ -234,6 +234,268 @@ def with_fingerprints(df: DataFrame, id_col: str = "doc_id",
             .join(mins, id_col, "left"))
 
 
+# --------------------------------------------------------------- corpus
+# Gopher/C4-style corpus-quality rule family (Rae et al. '21 App. A,
+# Raffel et al. '20 §2.2 — public knowledge; VERDICT r04 next #1).
+# Everything below is pure explode+aggregate SQL with exact DuckDB
+# oracle twins; ratios use the scaled-bigint convention.
+
+# Gopher's "required word" list: a doc must contain >= STOP_HITS_MIN of
+# these to pass the stop-word gate. Shared verbatim with the oracle.
+GOPHER_STOPWORDS = "the be to of and that have with".split()
+STOP_HITS_MIN = 2
+
+# heuristic gate bounds (Gopher App. A defaults)
+WORDS_MIN, WORDS_MAX = 50, 100_000
+MEAN_WORD_LEN_MIN6, MEAN_WORD_LEN_MAX6 = 3_000_000, 10_000_000
+SYMBOL_RATIO_MAX6 = 100_000          # (# + ellipsis) per word <= 0.1
+BULLET_LINE_FRAC_MAX6 = 900_000      # <= 90% bullet-led lines
+ELLIPSIS_LINE_FRAC_MAX6 = 300_000    # <= 30% ellipsis-ended lines
+ALPHA_WORD_FRAC_MIN6 = 800_000       # >= 80% words contain a letter
+
+BULLET_PREFIXES = ("- ", "* ", "•")      # '-', '*', '•'
+ELLIPSIS_SUFFIXES = ("...", "…")         # '...', '…'
+
+
+def _dup_stats(df: DataFrame, id_col: str, text_expr: Column,
+               sep: str, prefix: str) -> DataFrame:
+    """Per-doc duplicate-unit stats over ``sep``-split units (lines or
+    paragraphs): total units, duplicate occurrences beyond the first,
+    and the character mass of each — ONE explode + two map-side-
+    combined aggregations. Units are kept raw (no trim) so Spark and
+    DuckDB agree byte-for-byte; empty units are dropped."""
+    units = (df.select(F.col(id_col), F.explode(F.split(text_expr, sep))
+                       .alias("_u"))
+             .filter(F.col("_u") != ""))
+    per = units.groupBy(id_col, "_u").agg(F.count(F.lit(1)).alias("_c"))
+    return per.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias(f"{prefix}_n"),
+        (F.sum("_c") - F.count(F.lit(1))).cast("bigint")
+        .alias(f"{prefix}_dup"),
+        F.sum(F.col("_c") * F.length("_u")).cast("bigint")
+        .alias(f"{prefix}_chars"),
+        F.sum((F.col("_c") - 1) * F.length("_u")).cast("bigint")
+        .alias(f"{prefix}_dup_chars"))
+
+
+def top_ngram_char_fracs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         ns: tuple = (2, 3, 4)) -> DataFrame:
+    """Per-doc character-mass fraction of the most frequent word
+    n-gram, for each n in ``ns`` (Gopher's top-n-gram repetition
+    signal): frac_n = count(top gram) * token_chars(gram) /
+    total_token_chars, clamped to 1 (overlapping occurrences can
+    exceed the clamp), ties on the gram string ascending.
+
+    Scale shape: ONE posexplode + window-lead chain builds all gram
+    widths (the mention n-gram generator's measured shape), an inline
+    struct-array explode tags each width — no HOF lambdas — then one
+    combined groupBy(doc, n, gram) and a per-(doc, n) top-1 window.
+    Docs with fewer than n tokens contribute frac_n = 0.
+    """
+    from pyspark.sql import Window
+    d = df.select(F.col(id_col),
+                  _tokens(F.coalesce(F.col(text_col), F.lit("")))
+                  .alias("_t"))
+    base = d.select(id_col,
+                    F.length(F.concat_ws("", "_t")).alias("_tokchars"))
+    rows = d.select(id_col, F.size("_t").alias("_n"),
+                    F.posexplode("_t").alias("_pos", "_w0"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    words = [F.col("_w0")]
+    for j in range(1, max(ns)):
+        rows = rows.withColumn(f"_w{j}", F.lead("_w0", j).over(w))
+        words.append(F.col(f"_w{j}"))
+    structs = [F.struct(F.lit(n).alias("n"),
+                        F.concat_ws(" ", *words[:n]).alias("g"),
+                        (F.col("_pos") + n <= F.col("_n")).alias("ok"))
+               for n in ns]
+    grams = (rows.select(id_col, F.explode(F.array(*structs)).alias("x"))
+             .filter(F.col("x.ok"))
+             .select(id_col, F.col("x.n").alias("n"),
+                     F.col("x.g").alias("g")))
+    cnt = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    w2 = Window.partitionBy(id_col, "n").orderBy(F.desc("c"), F.asc("g"))
+    top = (cnt.withColumn("_rk", F.row_number().over(w2))
+           .filter(F.col("_rk") == 1)
+           .join(base, id_col)
+           .select(F.col(id_col), "n",
+                   F.round(F.least(
+                       F.lit(1.0),
+                       (F.col("c") * (F.length("g") - (F.col("n") - 1)))
+                       .cast("double")
+                       / F.greatest(F.col("_tokchars"), F.lit(1)))
+                       * 1_000_000).cast("bigint").alias("f6")))
+    agg = top.groupBy(id_col).agg(*[
+        F.max(F.when(F.col("n") == n, F.col("f6"))).alias(f"top{n}gram_frac6")
+        for n in ns])
+    out = df.select(id_col).join(agg, id_col, "left")
+    return out.select(F.col(id_col), *[
+        F.coalesce(F.col(f"top{n}gram_frac6"), F.lit(0)).cast("bigint")
+        .alias(f"top{n}gram_frac6") for n in ns])
+
+
+def with_repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics, per doc: duplicate-line and
+    duplicate-paragraph fractions (occurrence- and character-mass-
+    based) plus top-{2,3,4}-gram character fractions. Boilerplate
+    pages, bullet spam and copy-paste loops light these up; clean
+    prose scores near 0 on all seven.
+
+    Lines split on '\\n', paragraphs on '\\n\\n' (raw units, empty
+    dropped). frac conventions: dup_*_frac6 = duplicate occurrences
+    beyond the first / total units; dup_*_char_frac6 = the same by
+    character mass."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _dup_stats(df, id_col, t, "\n", "ln")
+    paras = _dup_stats(df, id_col, t, "\n\n", "pp")
+    grams = top_ngram_char_fracs(df, id_col, text_col)
+
+    def frac6(num, den):
+        return F.round(F.col(num).cast("double")
+                       / F.greatest(F.col(den), F.lit(1)) * 1_000_000) \
+                .cast("bigint")
+
+    out = (df.select(id_col)
+           .join(lines, id_col, "left").join(paras, id_col, "left")
+           .join(grams, id_col, "left"))
+    zero = F.lit(0).cast("bigint")
+    for c in ("ln_n", "ln_dup", "ln_chars", "ln_dup_chars",
+              "pp_n", "pp_dup", "pp_chars", "pp_dup_chars"):
+        out = out.withColumn(c, F.coalesce(F.col(c), zero))
+    return out.select(
+        F.col(id_col),
+        F.col("ln_n").alias("n_lines"),
+        frac6("ln_dup", "ln_n").alias("dup_line_frac6"),
+        frac6("ln_dup_chars", "ln_chars").alias("dup_line_char_frac6"),
+        F.col("pp_n").alias("n_paras"),
+        frac6("pp_dup", "pp_n").alias("dup_para_frac6"),
+        frac6("pp_dup_chars", "pp_chars").alias("dup_para_char_frac6"),
+        "top2gram_frac6", "top3gram_frac6", "top4gram_frac6")
+
+
+def with_heuristic_flags(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The C4/Gopher heuristic gate battery, per doc: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, bullet- and
+    ellipsis-line fractions, alphabetic-word fraction, and the
+    required-stop-word gate — each emitted as its metric (scaled
+    bigint) plus a 0/1 pass flag, with ``pass_all`` the conjunction.
+
+    Scale shape: one token explode + one line explode, each folded
+    into a single map-side-combined groupBy; the symbol counts are
+    translate/replace length arithmetic on the base scan. No UDFs, no
+    regex."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.select(F.col(id_col), t.alias("_t"))
+
+    toks = d.select(id_col, F.explode(_tokens(F.col("_t"))).alias("_w"))
+    is_alpha = (F.length(F.translate(F.col("_w"), _LETTERS, ""))
+                < F.length(F.col("_w"))).cast("bigint")
+    tok_agg = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("_w")).cast("bigint").alias("_wchars"),
+        F.sum(is_alpha).cast("bigint").alias("_alpha_w"),
+        F.count_distinct(
+            F.when(F.col("_w").isin(*GOPHER_STOPWORDS), F.col("_w")))
+        .cast("bigint").alias("stop_hits"))
+
+    lines = (d.select(id_col, F.explode(F.split(F.col("_t"), "\n"))
+                      .alias("_l"))
+             .filter(F.col("_l") != ""))
+    is_bullet = F.greatest(*[F.startswith(F.col("_l"), F.lit(p))
+                             for p in BULLET_PREFIXES]).cast("bigint")
+    is_ellip = F.greatest(*[F.endswith(F.col("_l"), F.lit(s))
+                            for s in ELLIPSIS_SUFFIXES]).cast("bigint")
+    line_agg = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nl"),
+        F.sum(is_bullet).cast("bigint").alias("_bl"),
+        F.sum(is_ellip).cast("bigint").alias("_el"))
+
+    # '#' count + non-overlapping '...' count + '…' count, regex-free
+    sym = (_count_char(F.col("_t"), "#")
+           + (F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("..."),
+                                                  F.lit("")))) / F.lit(3)
+           + _count_char(F.col("_t"), "…")).cast("bigint")
+
+    base = d.select(F.col(id_col), sym.alias("_sym"))
+    out = (base.join(tok_agg, id_col, "left")
+           .join(line_agg, id_col, "left"))
+    zero = F.lit(0).cast("bigint")
+    for c in ("n_words", "_wchars", "_alpha_w", "stop_hits",
+              "_nl", "_bl", "_el"):
+        out = out.withColumn(c, F.coalesce(F.col(c), zero))
+
+    def r6(num, den):
+        return F.round(F.col(num).cast("double")
+                       / F.greatest(F.col(den), F.lit(1)) * 1_000_000) \
+                .cast("bigint")
+
+    out = out.withColumns({
+        "mean_word_len6": r6("_wchars", "n_words"),
+        "symbol_ratio6": r6("_sym", "n_words"),
+        "bullet_line_frac6": r6("_bl", "_nl"),
+        "ellipsis_line_frac6": r6("_el", "_nl"),
+        "alpha_word_frac6": r6("_alpha_w", "n_words"),
+    })
+    flags = {
+        "pass_word_count": (F.col("n_words") >= WORDS_MIN)
+        & (F.col("n_words") <= WORDS_MAX),
+        "pass_mean_word_len": (F.col("mean_word_len6") >= MEAN_WORD_LEN_MIN6)
+        & (F.col("mean_word_len6") <= MEAN_WORD_LEN_MAX6),
+        "pass_symbol_ratio": F.col("symbol_ratio6") <= SYMBOL_RATIO_MAX6,
+        "pass_bullet": F.col("bullet_line_frac6") <= BULLET_LINE_FRAC_MAX6,
+        "pass_ellipsis": F.col("ellipsis_line_frac6")
+        <= ELLIPSIS_LINE_FRAC_MAX6,
+        "pass_alpha": F.col("alpha_word_frac6") >= ALPHA_WORD_FRAC_MIN6,
+        "pass_stopwords": F.col("stop_hits") >= STOP_HITS_MIN,
+    }
+    out = out.withColumns({k: v.cast("bigint") for k, v in flags.items()})
+    allpass = None
+    for k in flags:
+        allpass = F.col(k) if allpass is None else allpass * F.col(k)
+    out = out.withColumn("pass_all", allpass.cast("bigint"))
+    return out.select(
+        id_col, "n_words", "mean_word_len6", "symbol_ratio6",
+        "bullet_line_frac6", "ellipsis_line_frac6", "alpha_word_frac6",
+        "stop_hits", *sorted(flags), "pass_all")
+
+
+# PII detection patterns (detection COUNTS only — no replace on the
+# hot path; regexp_extract_all is the measured-scaling regex primitive
+# on this host, BENCH §8). Shared verbatim with the DuckDB oracle;
+# kept to the Java-regex ∩ RE2 common subset (no backrefs, no
+# lookaround) so both engines match identically.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+               "\\.[0-9]{1,3}\\b")
+PII_PHONE_RE = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+
+
+def with_pii_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Training-data hygiene: per-doc counts of email / IPv4 / phone
+    pattern matches plus a has_pii flag (VERDICT r04 next #8). Counts
+    only — masking/replacement is a downstream decision and
+    regexp_replace is the measured non-scaling expression on this
+    substrate (BENCH §2), while extract_all scales like ordinary
+    expressions (BENCH §8)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint")
+
+    out = df.select(F.col(id_col),
+                    n(PII_EMAIL_RE).alias("email_n"),
+                    n(PII_IPV4_RE).alias("ipv4_n"),
+                    n(PII_PHONE_RE).alias("phone_n"))
+    return out.withColumn(
+        "has_pii",
+        ((F.col("email_n") + F.col("ipv4_n") + F.col("phone_n")) > 0)
+        .cast("bigint"))
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 5) -> DataFrame:
     """Per-document top-k terms by TF-IDF — the classic corpus-keyword

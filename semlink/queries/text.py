@@ -138,3 +138,268 @@ def text_tfidf_top_terms(spark, sf_dir):
     """Training-data keyword extraction: per-document top-5 terms by
     TF-IDF (textstats.tfidf_top_terms), rank and score hash-gated."""
     return ts.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+# ------------------------------------------------------- corpus quality
+# The sf documents corpus is single-line prose, so the Gopher/C4 rule
+# family (line/paragraph structure, bullets, ellipses, PII) would be
+# trivially zero on it. Both engines therefore derive the SAME varied
+# corpus deterministically from `documents`: literal (non-regex)
+# replaces inject line/paragraph breaks at frequent vocabulary words,
+# then doc_id % 7 plants the pathologies the gates exist to catch
+# (bullet spam, ellipsis-spam lines, a duplicated paragraph).
+# Replacement order and all constants are shared verbatim, so the
+# DuckDB oracle re-derives the corpus byte-for-byte.
+
+_BULLET_LINE = "- spark data table"
+_ELLIPSIS_LINE = "see the full query plan..."
+_BOILER_PARA = "the same boilerplate paragraph again"
+
+_VARIED_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN repeat('{_BULLET_LINE}' || chr(10), 4) || t0
+              WHEN doc_id % 7 = 1
+              THEN t0 || repeat(chr(10) || '{_ELLIPSIS_LINE}', 3)
+              WHEN doc_id % 7 = 2
+              THEN t0 || repeat(chr(10) || chr(10) || '{_BOILER_PARA}', 2)
+              ELSE t0 END AS t
+  FROM (SELECT doc_id,
+               replace(replace(coalesce(text, ''),
+                               ' join ', chr(10) || chr(10) || 'join '),
+                       ' data ', chr(10) || 'data ') AS t0
+        FROM documents)
+"""
+
+
+def _varied_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t0 = F.replace(F.replace(t, F.lit(" join "), F.lit("\n\njoin ")),
+                   F.lit(" data "), F.lit("\ndata "))
+    m = F.col("doc_id") % 7
+    t1 = (F.when(m == 0, F.concat(F.repeat(F.lit(_BULLET_LINE + "\n"), 4), t0))
+          .when(m == 1, F.concat(t0, F.repeat(F.lit("\n" + _ELLIPSIS_LINE), 3)))
+          .when(m == 2, F.concat(t0, F.repeat(F.lit("\n\n" + _BOILER_PARA), 2)))
+          .otherwise(t0))
+    return d.select("doc_id", t1.alias("text"))
+
+
+_NS_SQL = "(VALUES (2), (3), (4)) AS ns(n)"
+
+
+@q("text_repetition", f"""
+  WITH base AS ({_VARIED_SQL}),
+  lf AS (SELECT doc_id, u FROM (
+           SELECT doc_id, unnest(string_split(t, chr(10))) AS u FROM base)
+         WHERE u <> ''),
+  lper AS (SELECT doc_id, u, count(*) AS c FROM lf GROUP BY 1, 2),
+  ln AS (SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS ln_n,
+                CAST(sum(c) - count(*) AS BIGINT) AS ln_dup,
+                CAST(sum(c * length(u)) AS BIGINT) AS ln_chars,
+                CAST(sum((c - 1) * length(u)) AS BIGINT) AS ln_dup_chars
+         FROM lper GROUP BY 1),
+  pf AS (SELECT doc_id, u FROM (
+           SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS u
+           FROM base)
+         WHERE u <> ''),
+  pper AS (SELECT doc_id, u, count(*) AS c FROM pf GROUP BY 1, 2),
+  pp AS (SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS pp_n,
+                CAST(sum(c) - count(*) AS BIGINT) AS pp_dup,
+                CAST(sum(c * length(u)) AS BIGINT) AS pp_chars,
+                CAST(sum((c - 1) * length(u)) AS BIGINT) AS pp_dup_chars
+         FROM pper GROUP BY 1),
+  tok AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(t), ' +'),
+                             x -> x <> '') AS toks
+          FROM base),
+  tc AS (SELECT doc_id,
+                CAST(length(array_to_string(toks, '')) AS BIGINT) AS tokchars
+         FROM tok),
+  g AS (SELECT doc_id, n,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - n + 1, 0)),
+                 i -> array_to_string(toks[i : i + n - 1], ' '))) AS g
+        FROM tok, {_NS_SQL}),
+  cnt AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+  top AS (SELECT doc_id, n, g, c,
+                 row_number() OVER (PARTITION BY doc_id, n
+                                    ORDER BY c DESC, g ASC) AS rk
+          FROM cnt),
+  f AS (SELECT t.doc_id, n,
+               CAST(ROUND(least(1.0,
+                      CAST(c * (length(g) - (n - 1)) AS DOUBLE)
+                      / greatest(tokchars, 1)) * {SCALE}) AS BIGINT) AS f6
+        FROM top t JOIN tc USING (doc_id) WHERE rk = 1),
+  piv AS (SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN f6 END) AS t2,
+                 max(CASE WHEN n = 3 THEN f6 END) AS t3,
+                 max(CASE WHEN n = 4 THEN f6 END) AS t4
+          FROM f GROUP BY 1)
+  SELECT b.doc_id,
+         coalesce(ln_n, 0) AS n_lines,
+         CAST(ROUND(CAST(coalesce(ln_dup, 0) AS DOUBLE)
+                    / greatest(coalesce(ln_n, 0), 1) * {SCALE}) AS BIGINT)
+           AS dup_line_frac6,
+         CAST(ROUND(CAST(coalesce(ln_dup_chars, 0) AS DOUBLE)
+                    / greatest(coalesce(ln_chars, 0), 1) * {SCALE}) AS BIGINT)
+           AS dup_line_char_frac6,
+         coalesce(pp_n, 0) AS n_paras,
+         CAST(ROUND(CAST(coalesce(pp_dup, 0) AS DOUBLE)
+                    / greatest(coalesce(pp_n, 0), 1) * {SCALE}) AS BIGINT)
+           AS dup_para_frac6,
+         CAST(ROUND(CAST(coalesce(pp_dup_chars, 0) AS DOUBLE)
+                    / greatest(coalesce(pp_chars, 0), 1) * {SCALE}) AS BIGINT)
+           AS dup_para_char_frac6,
+         coalesce(t2, 0) AS top2gram_frac6,
+         coalesce(t3, 0) AS top3gram_frac6,
+         coalesce(t4, 0) AS top4gram_frac6
+  FROM base b
+  LEFT JOIN ln USING (doc_id) LEFT JOIN pp USING (doc_id)
+  LEFT JOIN piv USING (doc_id)
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (Rae et al. '21 App. A) over the
+    deterministically varied corpus: duplicate-line / duplicate-
+    paragraph fractions (occurrence- and character-mass-based) and
+    top-{2,3,4}-gram character fractions. The oracle re-derives the
+    varied corpus AND all seven metrics in DuckDB."""
+    return ts.with_repetition_stats(_varied_docs(spark, sf_dir))
+
+
+_STOPW_IN = ", ".join(f"'{w}'" for w in ts.GOPHER_STOPWORDS)
+
+@q("text_heuristic_filters", f"""
+  WITH base AS ({_VARIED_SQL}),
+  tk AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(trim(t), ' +'), x -> x <> '')) AS w
+         FROM base),
+  ta AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(length(w)) AS BIGINT) AS wchars,
+                CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS alpha_w,
+                CAST(count(DISTINCT CASE WHEN w IN ({_STOPW_IN})
+                                         THEN w END) AS BIGINT) AS stop_hits
+         FROM tk GROUP BY 1),
+  lf AS (SELECT doc_id, u FROM (
+           SELECT doc_id, unnest(string_split(t, chr(10))) AS u FROM base)
+         WHERE u <> ''),
+  la AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS nl,
+                CAST(sum(CASE WHEN starts_with(u, '- ')
+                              OR starts_with(u, '* ')
+                              OR starts_with(u, '•') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS bl,
+                CAST(sum(CASE WHEN ends_with(u, '...')
+                              OR ends_with(u, '…') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS el
+         FROM lf GROUP BY 1),
+  sy AS (SELECT doc_id,
+                CAST((length(t) - length(replace(t, '#', '')))
+                  + (length(t) - length(replace(t, '...', ''))) / 3
+                  + (length(t) - length(replace(t, '…', ''))) AS BIGINT)
+                  AS sym
+         FROM base),
+  m AS (SELECT b.doc_id, sym,
+               coalesce(n_words, 0) AS n_words,
+               coalesce(wchars, 0) AS wchars,
+               coalesce(alpha_w, 0) AS alpha_w,
+               coalesce(stop_hits, 0) AS stop_hits,
+               coalesce(nl, 0) AS nl,
+               coalesce(bl, 0) AS bl,
+               coalesce(el, 0) AS el
+        FROM base b LEFT JOIN ta USING (doc_id) LEFT JOIN la USING (doc_id)
+        JOIN sy USING (doc_id)),
+  r AS (SELECT doc_id, n_words, stop_hits,
+               CAST(ROUND(CAST(wchars AS DOUBLE)
+                          / greatest(n_words, 1) * {SCALE}) AS BIGINT)
+                 AS mean_word_len6,
+               CAST(ROUND(CAST(sym AS DOUBLE)
+                          / greatest(n_words, 1) * {SCALE}) AS BIGINT)
+                 AS symbol_ratio6,
+               CAST(ROUND(CAST(bl AS DOUBLE)
+                          / greatest(nl, 1) * {SCALE}) AS BIGINT)
+                 AS bullet_line_frac6,
+               CAST(ROUND(CAST(el AS DOUBLE)
+                          / greatest(nl, 1) * {SCALE}) AS BIGINT)
+                 AS ellipsis_line_frac6,
+               CAST(ROUND(CAST(alpha_w AS DOUBLE)
+                          / greatest(n_words, 1) * {SCALE}) AS BIGINT)
+                 AS alpha_word_frac6
+        FROM m),
+  fl AS (SELECT *,
+            CAST(n_words >= {ts.WORDS_MIN}
+                 AND n_words <= {ts.WORDS_MAX} AS BIGINT) AS pass_word_count,
+            CAST(mean_word_len6 >= {ts.MEAN_WORD_LEN_MIN6}
+                 AND mean_word_len6 <= {ts.MEAN_WORD_LEN_MAX6} AS BIGINT)
+              AS pass_mean_word_len,
+            CAST(symbol_ratio6 <= {ts.SYMBOL_RATIO_MAX6} AS BIGINT)
+              AS pass_symbol_ratio,
+            CAST(bullet_line_frac6 <= {ts.BULLET_LINE_FRAC_MAX6} AS BIGINT)
+              AS pass_bullet,
+            CAST(ellipsis_line_frac6 <= {ts.ELLIPSIS_LINE_FRAC_MAX6}
+                 AS BIGINT) AS pass_ellipsis,
+            CAST(alpha_word_frac6 >= {ts.ALPHA_WORD_FRAC_MIN6} AS BIGINT)
+              AS pass_alpha,
+            CAST(stop_hits >= {ts.STOP_HITS_MIN} AS BIGINT) AS pass_stopwords
+         FROM r)
+  SELECT doc_id, n_words, mean_word_len6, symbol_ratio6,
+         bullet_line_frac6, ellipsis_line_frac6, alpha_word_frac6,
+         stop_hits, pass_alpha, pass_bullet, pass_ellipsis,
+         pass_mean_word_len, pass_stopwords, pass_symbol_ratio,
+         pass_word_count,
+         pass_word_count * pass_mean_word_len * pass_symbol_ratio
+           * pass_bullet * pass_ellipsis * pass_alpha * pass_stopwords
+           AS pass_all
+  FROM fl
+""")
+def text_heuristic_filters(spark, sf_dir):
+    """The C4/Gopher heuristic gate battery (Raffel et al. '20 §2.2,
+    Rae et al. '21 App. A) over the varied corpus: every metric as a
+    scaled bigint plus its 0/1 pass flag and the pass_all conjunction,
+    each re-derived end-to-end by the DuckDB oracle."""
+    return ts.with_heuristic_flags(_varied_docs(spark, sf_dir))
+
+
+@q("text_pii_stats", f"""
+  WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '')
+                  || ' contact alice.smith@example.com or bob@mail.example.org'
+                WHEN doc_id % 5 = 1 THEN coalesce(text, '')
+                  || ' server at 192.168.1.77 and 10.0.0.255 up'
+                WHEN doc_id % 5 = 2 THEN coalesce(text, '')
+                  || ' call +1-555-123-4567 today'
+                ELSE coalesce(text, '') END AS t
+    FROM documents)
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{ts.PII_EMAIL_RE}')) AS BIGINT)
+           AS email_n,
+         CAST(len(regexp_extract_all(t, '{ts.PII_IPV4_RE}')) AS BIGINT)
+           AS ipv4_n,
+         CAST(len(regexp_extract_all(t, '{ts.PII_PHONE_RE}')) AS BIGINT)
+           AS phone_n,
+         CAST((len(regexp_extract_all(t, '{ts.PII_EMAIL_RE}'))
+             + len(regexp_extract_all(t, '{ts.PII_IPV4_RE}'))
+             + len(regexp_extract_all(t, '{ts.PII_PHONE_RE}'))) > 0
+              AS BIGINT) AS has_pii
+  FROM base
+""")
+def text_pii_stats(spark, sf_dir):
+    """Training-data hygiene: per-doc email / IPv4 / phone detection
+    counts (VERDICT r04 next #8) over documents with deterministically
+    planted PII (doc_id % 5 variants). Patterns shared verbatim with
+    the oracle, restricted to the Java-regex ∩ RE2 common subset."""
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    m = F.col("doc_id") % 5
+    planted = (F.when(m == 0, F.concat(t, F.lit(
+                  " contact alice.smith@example.com or bob@mail.example.org")))
+               .when(m == 1, F.concat(t, F.lit(
+                  " server at 192.168.1.77 and 10.0.0.255 up")))
+               .when(m == 2, F.concat(t, F.lit(" call +1-555-123-4567 today")))
+               .otherwise(t))
+    return ts.with_pii_stats(d.select("doc_id", planted.alias("text")))

@@ -11,6 +11,7 @@ FAST = [
     "dedup_simhash", "text_langid", "text_quality_score",
     "text_fingerprints", "ann_ivf_cell_topk", "media_features",
     "media_pixels", "rl_dict_build", "rl_mention_pairs",
+    "text_repetition", "text_heuristic_filters", "text_pii_stats",
 ]
 
 
@@ -597,3 +598,88 @@ def test_decode_gif_pixels_uncompressed_trick():
     rgb = b"".join(palette[3 * px:3 * px + 3] for px in idx)
     assert got["n_px"] == w * h
     assert got["px_digest"] == hashlib.md5(rgb.hex().encode()).hexdigest()
+
+
+def test_repetition_planted_pathologies(spark):
+    """Gopher repetition metrics light up on planted pathologies and
+    stay near zero on clean prose (VERDICT r04 next #1)."""
+    from semlink.datapipe.textstats import with_repetition_stats
+
+    clean = "alpha beta gamma delta\nepsilon zeta eta theta"
+    dup_lines = "copy me\ncopy me\ncopy me\nunique line"
+    dup_paras = "para one here\n\npara one here\n\npara two"
+    ngram_spam = " ".join(["buy now"] * 10)
+    d = spark.createDataFrame(
+        [(1, clean), (2, dup_lines), (3, dup_paras), (4, ngram_spam),
+         (5, None), (6, "")],
+        "doc_id long, text string")
+    r = {x.doc_id: x for x in with_repetition_stats(d).collect()}
+
+    assert r[1].n_lines == 2 and r[1].dup_line_frac6 == 0
+    assert r[1].dup_para_frac6 == 0
+    # 3 "copy me" lines -> 2 duplicates of 4 units
+    assert r[2].n_lines == 4 and r[2].dup_line_frac6 == 500_000
+    # dup char mass: 2 extra "copy me" (7ch) of 3*7 + 11 total chars
+    assert r[2].dup_line_char_frac6 == 437_500
+    # duplicated paragraph: 1 dup of 3 paras
+    assert r[3].n_paras == 3 and r[3].dup_para_frac6 == 333_333
+    # "buy now" * 10 -> top bigram "now buy" or "buy now" covers ~half
+    assert r[4].top2gram_frac6 >= 480_000
+    assert r[4].top4gram_frac6 >= 480_000
+    # null == empty: zero units everywhere
+    for i in (5, 6):
+        assert r[i].n_lines == 0 and r[i].n_paras == 0
+        assert r[i].top2gram_frac6 == 0
+
+
+def test_heuristic_flags_planted_pathologies(spark):
+    """C4/Gopher gate battery: a clean doc passes every gate; bullet
+    spam, ellipsis spam, symbol spam, short docs and no-stopword docs
+    each trip exactly their gate."""
+    from semlink.datapipe.textstats import (GOPHER_STOPWORDS,
+                                            with_heuristic_flags)
+
+    good_words = ("the quick brown fox jumps over lazy dogs and cats "
+                  "that have been with us " ) * 4
+    bullets = "\n".join(["- item one of the list"] * 10) + \
+        "\nthe rest is " + "fine words here and that have with of " * 6
+    ellipsis = "\n".join(["click to read more of the story..."] * 10)
+    symbols = ("# " * 40) + "the words that have with of be to and "
+    short = "too short to pass the word count gate and that"
+    nostop = "lorem ipsum dolor sit amet " * 12
+    d = spark.createDataFrame(
+        [(1, good_words), (2, bullets), (3, ellipsis), (4, symbols),
+         (5, short), (6, nostop)],
+        "doc_id long, text string")
+    r = {x.doc_id: x for x in with_heuristic_flags(d).collect()}
+
+    assert r[1].pass_all == 1
+    # bullet spam: 10 of 11 lines bullet-led = 90.9% > the 90% gate
+    assert r[2].pass_bullet == 0
+    assert r[2].bullet_line_frac6 == round(10 / 11 * 1e6)
+    assert r[3].pass_ellipsis == 0 and r[3].ellipsis_line_frac6 == 1_000_000
+    assert r[4].pass_symbol_ratio == 0 and r[4].pass_all == 0
+    assert r[5].pass_word_count == 0 and r[5].n_words < 50
+    assert r[6].pass_stopwords == 0 and r[6].stop_hits == 0
+    assert set(GOPHER_STOPWORDS) & set(good_words.split())
+
+
+def test_pii_stats_planted(spark):
+    """PII detection counts: planted emails / IPv4s / phones are
+    counted; clean text and bare version strings are not flagged."""
+    from semlink.datapipe.textstats import with_pii_stats
+
+    d = spark.createDataFrame(
+        [(1, "mail a.b@c.io and d@e.org now"),
+         (2, "hosts 10.0.0.1 192.168.255.254 and 8.8.8.8"),
+         (3, "call +31-555-123-4567 or 555 123 4567"),
+         (4, "clean prose with no identifiers at all"),
+         (5, None),
+         (6, "version 1.2.3 is not an ip")],
+        "doc_id long, text string")
+    r = {x.doc_id: x for x in with_pii_stats(d).collect()}
+    assert r[1].email_n == 2 and r[1].has_pii == 1
+    assert r[2].ipv4_n == 3 and r[2].has_pii == 1
+    assert r[3].phone_n == 2 and r[3].has_pii == 1
+    assert r[4].has_pii == 0 and r[5].has_pii == 0
+    assert r[6].ipv4_n == 0
