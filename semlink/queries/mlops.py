@@ -242,3 +242,62 @@ def ml_stumps_apply(spark, sf_dir):
         _r6(margin).alias("margin6"),
         F.when(margin > 0, F.lit(1)).otherwise(F.lit(-1))
         .cast("long").alias("pred"))
+
+
+# ------------------------------------------------------ consolidated
+# (window-budget consolidation — see queries/rl.py note)
+
+@q("ml_logistic_features", f"""
+  SELECT p_partkey,
+         CAST(len(string_split(p_name, ' ')) AS BIGINT) AS f_len_words,
+         CAST(length(p_name) AS BIGINT) AS f_len_chars,
+         CAST(CASE WHEN p_name = ({_INITCAP_DUCK}) THEN 1 ELSE 0 END
+              AS BIGINT) AS f_is_initcap,
+         CAST(CASE WHEN p_name = lower(p_name) THEN 1 ELSE 0 END
+              AS BIGINT) AS f_is_lower,
+         CAST(ROUND(p_retailprice / 2000.0 * {SCALE}) AS BIGINT) AS feat0_6,
+         CAST(ROUND(CAST(p_size AS DOUBLE) / 50.0 * {SCALE}) AS BIGINT)
+           AS feat1_6,
+         CAST(ROUND(p_retailprice / 4000.0 * {SCALE}) AS BIGINT) AS feat2_6,
+         CAST(len(string_split(p_name, ' ')) AS BIGINT) * {SCALE} AS feat3_6,
+         CAST(length(p_name) AS BIGINT) * {SCALE} AS feat4_6,
+         CAST(CASE WHEN p_name = ({_INITCAP_DUCK}) THEN 1 ELSE 0 END
+              AS BIGINT) * {SCALE} AS feat5_6,
+         CAST(CASE WHEN p_name = lower(p_name) THEN 1 ELSE 0 END
+              AS BIGINT) * {SCALE} AS feat6_6,
+         CAST(0 AS BIGINT) AS feat7_6,
+         CAST(ROUND(1.0 / (1.0 + exp(-(
+             {_ML_W[0]} * (CAST(length(p_name) AS DOUBLE) / 32.0)
+           + {_ML_W[1]} * (p_retailprice / 2000.0)
+           + {_ML_W[2]} * (CAST(p_size AS DOUBLE) / 50.0)
+           + {_ML_B}))) * {SCALE}) AS BIGINT) AS score6
+  FROM part
+""")
+def ml_logistic_features(spark, sf_dir):
+    """X1 + X7 + T5 + M1 in one entry: the fixed-order feature-vector
+    assembly AND the Arrow pandas-UDF σ(Xw+b) model application joined
+    per key (consolidates ml_feature_assembly + ml_logistic_apply)."""
+    import numpy as np
+    from ..learning import apply_model, assemble_features
+    p = _read(spark, sf_dir, "part")
+    cands = p.select(
+        "p_partkey",
+        F.col("p_name").alias("ngram"),
+        (F.col("p_retailprice") / 2000.0).alias("prior_prob"),
+        (F.col("p_size").cast("double") / 50.0).alias("link_prob"),
+        (F.col("p_retailprice") / 4000.0).alias("sense_prob"))
+    feats = assemble_features(cands).select(
+        "p_partkey",
+        F.col("f_len_words").cast("bigint").alias("f_len_words"),
+        F.col("f_len_chars").cast("bigint").alias("f_len_chars"),
+        F.col("f_is_initcap").cast("bigint").alias("f_is_initcap"),
+        F.col("f_is_lower").cast("bigint").alias("f_is_lower"),
+        *[_r6(F.element_at("features", i + 1)).alias(f"feat{i}_6")
+          for i in range(8)])
+    mfeats = p.select("p_partkey", F.array(
+        F.length("p_name").cast("double") / 32.0,
+        F.col("p_retailprice") / 2000.0,
+        F.col("p_size").cast("double") / 50.0).alias("features"))
+    scored = apply_model(mfeats, np.array(_ML_W), _ML_B).select(
+        "p_partkey", _r6(F.col("learning_score")).alias("score6"))
+    return feats.join(scored, "p_partkey")

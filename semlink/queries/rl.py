@@ -222,3 +222,57 @@ def rl_connected_components(spark, sf_dir):
              .select(ident("doc_id").alias("src"), ident("doc_id2").alias("dst")))
     ckpt = tempfile.mkdtemp(prefix="semlink_cc_oracle_")
     return run_connected_components(edges, SemlinkConfig(), ckpt_dir=ckpt)
+
+
+# ------------------------------------------------------ consolidated
+# Window-budget consolidation (VERDICT r04 next #7): the driver records
+# only the first 50 contract entries, so same-family single-purpose
+# entries are folded into combined ones carrying BOTH computations in
+# one hash-gated row set; the originals stay registered (demoted from
+# the driver contract in __spark_entry__) for bench/tests.
+
+@q("rl_string_sims", f"""
+  SELECT DISTINCT p_brand AS a, p_type AS b,
+         levenshtein(p_brand, p_type) AS lev,
+         CAST(ROUND(jaro_winkler_similarity(p_brand, p_type) * {SCALE})
+              AS BIGINT) AS jw6
+  FROM part
+""")
+def rl_string_sims(spark, sf_dir):
+    """X3 + X4 in one entry: builtin Levenshtein and the batched-numpy
+    Jaro-Winkler kernel over the same distinct string pairs
+    (consolidates rl_levenshtein + rl_jaro_winkler)."""
+    from ..pairs import jaro_winkler_udf
+    p = _read(spark, sf_dir, "part")
+    return (p.select(F.col("p_brand").alias("a"), F.col("p_type").alias("b"))
+            .distinct()
+            .withColumn("lev", F.levenshtein("a", "b").cast("bigint"))
+            .withColumn("jw6", _r6(jaro_winkler_udf(F.col("a"), F.col("b")))))
+
+
+@q("rl_dict_stats", f"""
+  WITH dict AS ({_DICT_SQL})
+  SELECT anchor_norm, sense, sense_cnt, anchor_total, prior6,
+         CAST(ROUND(CAST(anchor_total AS DOUBLE) / (anchor_total + 7)
+              * {SCALE}) AS BIGINT) AS link_prob6,
+         CAST(ROUND(CAST(sense_cnt AS DOUBLE) / (anchor_total + 7)
+              * {SCALE}) AS BIGINT) AS sense_prob6
+  FROM dict
+""")
+def rl_dict_stats(spark, sf_dir):
+    """A1-A6 in one entry: anchor/sense/total aggregation (dict build)
+    plus the with_probabilities() prior/link/sense-prob arithmetic
+    (consolidates rl_dict_build + rl_dict_probabilities)."""
+    from ..linking import with_probabilities
+    d = _spark_dict(spark, sf_dir)
+    anchors = d.select(
+        "anchor_norm", "sense", "sense_cnt", "anchor_total", "prior6",
+        F.col("sense").alias("target_id"),
+        F.col("sense_cnt").alias("sense_link_count"),
+        F.col("anchor_total").alias("anchor_link_total"),
+        (F.col("anchor_total") + 7).alias("anchor_text_total"))
+    p = with_probabilities(anchors)
+    return p.select("anchor_norm", "sense", "sense_cnt", "anchor_total",
+                    "prior6",
+                    _r6(F.col("link_prob")).alias("link_prob6"),
+                    _r6(F.col("sense_prob")).alias("sense_prob6"))

@@ -386,3 +386,69 @@ def rl_page_features(spark, sf_dir):
                       F.col("f_inlinks").cast("bigint").alias("f_inlinks"),
                       F.col("f_outlinks").cast("bigint").alias("f_outlinks"),
                       "f_is_redirect")
+
+
+# ------------------------------------------------------ consolidated
+# (window-budget consolidation — see queries/rl.py note)
+
+@q("rl_textnorm", r"""
+  WITH cleaned AS (
+    SELECT doc_id,
+           CASE WHEN contains(dirty, 'http') OR contains(dirty, '@')
+                     OR contains(dirty, 'RT')
+                THEN regexp_replace(regexp_replace(regexp_replace(dirty,
+                       'https?://\S+', ' ', 'g'), '@\w+', ' ', 'g'),
+                       '\bRT\b', ' ', 'g')
+                ELSE dirty END AS cleaned
+    FROM (SELECT doc_id,
+                 'RT @user' || CAST(doc_id AS VARCHAR) || ' ' || text ||
+                 ' see http://x.co/' || CAST(doc_id % 97 AS VARCHAR) AS dirty
+          FROM documents))
+  SELECT doc_id, cleaned, {norm} AS blocking_key
+  FROM cleaned
+""".replace("{norm}", NORMALIZE_DUCKDB_SQL.format(col="cleaned")))
+def rl_textnorm(spark, sf_dir):
+    """T1 → T4 composed in one entry: tweet-style cleaning (URL /
+    @mention / RT strip) followed by blocking-key normalization of the
+    cleaned text (consolidates rl_clean_text +
+    rl_normalize_blocking_key; the T4 distinct-input variant stays
+    registered for bench)."""
+    from ..textnorm import normalize_expr
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(F.lit("RT @user"), F.col("doc_id").cast("string"),
+                     F.lit(" "), F.col("text"), F.lit(" see http://x.co/"),
+                     (F.col("doc_id") % 97).cast("string"))
+    return (d.select("doc_id", clean_expr(dirty).alias("cleaned"))
+            .withColumn("blocking_key", normalize_expr(F.col("cleaned"))))
+
+
+@q("rl_page_graph", f"""
+  WITH {_PAGE_GRAPH_SQL},
+  cands AS (SELECT 'm:' || CAST(p_partkey AS VARCHAR) AS mention_id,
+                   p_partkey % 500 AS target_id
+            FROM part)
+  SELECT c.mention_id, c.target_id, ps.title, ps.is_redirect,
+         ps.inlink_count AS f_inlinks,
+         ps.outlink_count AS f_outlinks
+  FROM cands c LEFT JOIN pagestats ps USING (target_id)
+""")
+def rl_page_graph(spark, sf_dir):
+    """A9 + J4 + X5 in one entry: build_page_stats in/out-degree over
+    the synthetic page graph AND the attach_page_features broadcast
+    left join carrying title/redirect/degree onto every candidate
+    (consolidates rl_page_degree + rl_page_features)."""
+    from ..dictionary import build_page_stats
+    from ..linking import attach_page_features
+    pl, pages = _spark_page_graph(spark, sf_dir)
+    stats = build_page_stats(pl, pages)
+    p = _read(spark, sf_dir, "part")
+    cands = p.select(
+        F.concat_ws(":", F.lit("m"), F.col("p_partkey").cast("string"))
+        .alias("mention_id"),
+        (F.col("p_partkey") % 500).alias("target_id"))
+    out = attach_page_features(cands, stats)
+    return (out.join(stats.select("target_id", "title"), "target_id", "left")
+            .select("mention_id", "target_id", "title",
+                    F.col("f_is_redirect").alias("is_redirect"),
+                    F.col("f_inlinks").cast("bigint").alias("f_inlinks"),
+                    F.col("f_outlinks").cast("bigint").alias("f_outlinks")))

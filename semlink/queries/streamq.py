@@ -117,3 +117,44 @@ def stream_dedup_exact(spark, sf_dir):
           .trigger(availableNow=True).start())
     qy.awaitTermination(120)
     return spark.sql("SELECT DISTINCT text_hash FROM q_sdd")
+
+
+@q("stream_link_sessions", None)   # rows-only: streaming engine
+def stream_link_sessions(spark, sf_dir):
+    """§2.10 composed (VERDICT r04 next #7): ONE availableNow pass of
+    the streaming linking path feeds BOTH evidence surfaces — raw
+    candidate links (stream_candidates) and session-windowed
+    per-conversation counts (windowed_mention_counts) — returned as
+    window rows joined with exact per-conversation candidate totals,
+    so the one driver-recorded streaming row witnesses the whole
+    §2.10 batch==stream family. Consolidates
+    stream_candidates_availablenow + stream_session_windows (both stay
+    registered); engine-specific execution — rows-only by design."""
+    import tempfile
+    from semlink.fixtures import generate, to_spark
+    from semlink.streaming import stream_candidates, windowed_mention_counts
+    d = to_spark(spark, generate("tiny"))
+    src = tempfile.mkdtemp(prefix="semlink_q_slnk_src_")
+    d["transcripts"].coalesce(2).write.mode("overwrite").parquet(src)
+
+    def run(df, name):
+        ckpt = tempfile.mkdtemp(prefix=f"semlink_q_slnk_{name}_")
+        qy = (df.writeStream.format("memory").queryName(name)
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        qy.awaitTermination(180)
+        return spark.sql(f"SELECT * FROM {name}")
+
+    stream = spark.readStream.schema(d["transcripts"].schema).parquet(src)
+    cands = run(stream_candidates(stream, d["anchors"])
+                .select("conv_id", "mention_id", "target_id"), "q_slnk_cands")
+    stream2 = spark.readStream.schema(d["transcripts"].schema).parquet(src)
+    wins = run(windowed_mention_counts(stream2, d["anchors"],
+                                       gap="30 minutes")
+               .select("conv_id", F.col("w.start").alias("w_start"),
+                       F.col("w.end").alias("w_end"),
+                       "n_candidates", "n_entities"), "q_slnk_wins")
+    totals = cands.groupBy("conv_id").agg(
+        F.count("*").alias("conv_cands"),
+        F.countDistinct("target_id").alias("conv_targets"))
+    return wins.join(totals, "conv_id")

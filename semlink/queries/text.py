@@ -403,3 +403,37 @@ def text_pii_stats(spark, sf_dir):
                .when(m == 2, F.concat(t, F.lit(" call +1-555-123-4567 today")))
                .otherwise(t))
     return ts.with_pii_stats(d.select("doc_id", planted.alias("text")))
+
+
+# ------------------------------------------------------ consolidated
+# (window-budget consolidation — see queries/rl.py note)
+
+@q("text_token_quality", f"""
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))
+           AS ws_tokens,
+         len(regexp_extract_all(text, '{ts.WORD_RE}')) AS word_tokens,
+         length(text) AS n_chars_out,
+         CAST(ROUND((
+           0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END)
+         + 0.3 * least(({_STOPR_SQL}) * 3.0, 1.0)
+         ) * {SCALE}) AS BIGINT) AS quality6
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), ' +'),
+                           x -> x <> '') AS toks
+        FROM documents)
+""")
+def text_token_quality(spark, sf_dir):
+    """Token stats + the 3-term quality score joined per doc in one
+    entry (consolidates text_token_stats + text_quality_score; both
+    stay registered for bench)."""
+    d = _docs(spark, sf_dir).drop("n_chars")
+    t = ts.with_token_stats(d).select(
+        "doc_id", "ws_tokens", "word_tokens",
+        F.col("n_chars").alias("n_chars_out"))
+    qs = ts.with_quality_score(d).select(
+        "doc_id", _r6(F.col("quality_score")).alias("quality6"))
+    return t.join(qs, "doc_id")

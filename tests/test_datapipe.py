@@ -8,9 +8,9 @@ import __spark_entry__ as entrymod
 SF_DIR = "/root/testdata/sf0.001"
 FAST = [
     "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_pairs",
-    "dedup_simhash", "text_langid", "text_quality_score",
+    "dedup_simhash", "text_langid", "text_token_quality",
     "text_fingerprints", "ann_ivf_cell_topk", "media_features",
-    "media_pixels", "rl_dict_build", "rl_mention_pairs",
+    "media_pixels", "rl_dict_stats", "rl_mention_pairs",
     "text_repetition", "text_heuristic_filters", "text_pii_stats",
 ]
 
