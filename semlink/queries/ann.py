@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..datapipe import simsearch as ss
-from . import SCALE, _r6, _read, q
+from . import SCALE, _docs, _r6, _read, q
 
 
 _COSINE_SQL = """
@@ -206,3 +206,59 @@ def ann_ivf_near_dup_edges(spark, sf_dir):
     cents = ss.seed_centroids(aug, k=_ND_K)
     return ss.cosine_near_dup_edges_ivf(
         aug, cents, threshold=_ND_THR6 / SCALE, nprobe=2)
+
+
+# ---------------------------------------------------- text → embedding
+from ..datapipe.simsearch import EMBED_DIM, hashed_embedding_components
+
+_EMB_VSUM = ",\n          ".join(
+    f"CAST(sum(CASE WHEN b = {j} THEN s ELSE 0 END) AS BIGINT) AS v{j}"
+    for j in range(EMBED_DIM))
+_EMB_SS = " + ".join(f"cv{j} * cv{j}" for j in range(EMBED_DIM))
+_EMB_COAL = ", ".join(f"coalesce(v{j}, 0) AS cv{j}"
+                      for j in range(EMBED_DIM))
+_EMB_ARR = ", ".join(
+    f"CASE WHEN ss > 0 THEN CAST(ROUND(CAST(cv{j} AS DOUBLE)"
+    f" / sqrt(CAST(ss AS DOUBLE)) * {SCALE}) AS BIGINT)"
+    f" ELSE CAST(0 AS BIGINT) END"
+    for j in range(EMBED_DIM))
+
+@q("ann_embed_text", f"""
+  WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                 ' +'), x -> x <> '')) AS tok
+    FROM documents),
+  h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+  votes AS (
+    SELECT doc_id,
+           ((instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substring(hx, 2, 1)) - 1))
+             % {EMBED_DIM} AS b,
+           CASE WHEN (instr('0123456789abcdef', substring(hx, 3, 1)) - 1)
+                     % 2 = 0 THEN 1 ELSE -1 END AS s
+    FROM h),
+  agg AS (SELECT doc_id, {_EMB_VSUM}
+          FROM votes GROUP BY doc_id),
+  filled AS (SELECT d.doc_id, {_EMB_COAL}
+             FROM documents d LEFT JOIN agg USING (doc_id)),
+  withss AS (SELECT *, CAST({_EMB_SS} AS BIGINT) AS ss FROM filled)
+  SELECT doc_id, ss, [{_EMB_ARR}] AS emb6
+  FROM withss
+""")
+def ann_embed_text(spark, sf_dir):
+    """Text → embedding bridge (VERDICT r04 next #2): the feature-
+    hashed signed token projection (hashing trick) whose DuckDB oracle
+    re-derives every bucket vote, the squared norm, and all 32
+    L2-normalized scaled-bigint components. embed_text() exposes the
+    same vectors as array<float> for the ANN operators; composition
+    (embed → IVF near-dup edges on planted paraphrase twins) is
+    pytest-pinned."""
+    c = hashed_embedding_components(_docs(spark, sf_dir))
+    norm = F.sqrt(F.col("ss").cast("double"))
+    emb6 = F.array(*[
+        F.when(F.col("ss") > 0,
+               F.round(F.col(f"v{j}").cast("double") / norm * SCALE)
+               .cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint")) for j in range(EMBED_DIM)])
+    return c.select("doc_id", "ss", emb6.alias("emb6"))

@@ -172,3 +172,61 @@ def test_cosine_impls_agree(spark):
             .collect()}
     assert outs["sql"] == outs["arrow"] == outs["fixed"]
     assert outs["sql"][50] == 0 and outs["sql"][51] == 0
+
+
+def test_embed_text_properties(spark):
+    """Feature-hashed embedding: unit norm for non-empty docs, zero
+    vector for empty/null docs, identical text -> identical vector,
+    and shared-token docs are far more similar than disjoint ones."""
+    import math
+
+    from semlink.datapipe.simsearch import EMBED_DIM, embed_text
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    para = " ".join(f"tok{i}" for i in range(36)) + " alt0 alt1 alt2 alt3"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, para), (4, other), (5, ""), (6, None)],
+        "doc_id long, text string")
+    v = {r.doc_id: list(r.embedding) for r in embed_text(d).collect()}
+
+    assert all(len(e) == EMBED_DIM for e in v.values())
+    for i in (1, 3, 4):
+        assert abs(math.sqrt(sum(x * x for x in v[i])) - 1.0) < 1e-5
+    assert v[5] == [0.0] * EMBED_DIM and v[6] == [0.0] * EMBED_DIM
+    assert v[1] == v[2]
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    assert cos(v[1], v[3]) > 0.75
+    assert cos(v[1], v[3]) > cos(v[1], v[4]) + 0.4
+
+
+def test_embed_to_ivf_near_dup_composition(spark):
+    """Text-native ANN end-to-end (VERDICT r04 next #2): embed_text →
+    seed centroids → cell-routed near-dup edges recovers every planted
+    paraphrase twin pair and none of the unrelated pairs."""
+    from pyspark.sql import functions as F
+
+    from semlink.datapipe.simsearch import (cosine_near_dup_edges_ivf,
+                                            embed_text, seed_centroids)
+
+    rows = []
+    for i in range(30):
+        toks = [f"w{i}_{j}" for j in range(30)]
+        para = toks[:27] + [f"p{i}_{j}" for j in range(3)]  # ~90% shared
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(para)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = embed_text(d).select(F.col("doc_id").alias("vec_id"), "embedding")
+    cents = seed_centroids(emb, k=4)
+    # 30 signed tokens into 32 buckets: collisions put twin cosines in
+    # ~[0.70, 0.95] while disjoint-vocabulary cosines stay near 0, so a
+    # 0.65 threshold separates cleanly at this dim
+    edges = cosine_near_dup_edges_ivf(emb, cents, threshold=0.65)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert planted <= got, f"missed {sorted(planted - got)[:5]}"
+    # unrelated docs use disjoint vocabularies: no cross-doc edges
+    extra = got - planted
+    assert not extra, f"spurious edges {sorted(extra)[:5]}"
