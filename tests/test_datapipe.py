@@ -683,3 +683,141 @@ def test_pii_stats_planted(spark):
     assert r[3].phone_n == 2 and r[3].has_pii == 1
     assert r[4].has_pii == 0 and r[5].has_pii == 0
     assert r[6].ipv4_n == 0
+
+
+def _jpeg_mirror_plane(ch, qt):
+    """Independent dequant+IDCT mirror of one channel from the
+    encoder's quantized zigzag blocks — exercises the decoder's
+    Huffman/bitstream layer end-to-end, since any entropy bug changes
+    the coefficients and therefore the digest."""
+    import numpy as np
+
+    from semlink.datapipe.jpegenc import ZIGZAG, _quantize_channel, idct2d
+    h, w = ch.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    qtz = qt[ZIGZAG].astype(np.float64)
+    plane = np.zeros((bh * 8, bw * 8))
+    for m, zz in enumerate(_quantize_channel(ch.astype(np.float64), qt)):
+        by, bx = divmod(m, bw)
+        coef = np.zeros(64)
+        coef[ZIGZAG] = zz.astype(np.float64) * qtz
+        plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+            idct2d(coef.reshape(8, 8)) + 128.0
+    return plane[:h, :w]
+
+
+def test_jpeg_decode_matches_mirror_exactly():
+    """Grayscale and color decodes must be BIT-identical to the
+    independent dequant+IDCT mirror computed from the encoder's own
+    quantized coefficients (Huffman layer round-trips exactly)."""
+    import hashlib
+
+    import numpy as np
+
+    from semlink.datapipe.jpegenc import (QT_CHROMA, QT_LUMA,
+                                          encode_baseline_jpeg)
+    from semlink.datapipe.multimodal import decode_jpeg_pixels
+
+    clip8 = lambda x: np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+
+    gray = ((np.arange(19 * 27) * 31 + 7) % 256).astype(
+        np.uint8).reshape(19, 27)
+    got = decode_jpeg_pixels(encode_baseline_jpeg(gray))
+    exp = clip8(_jpeg_mirror_plane(gray, QT_LUMA))[:, :, None]
+    assert got["n_px"] == 19 * 27
+    assert got["px_digest"] == hashlib.md5(
+        exp.tobytes().hex().encode()).hexdigest()
+    assert got["mean"] == float(np.mean(exp))
+
+    rgb = np.stack([((np.arange(17 * 21) * k + 13 * k) % 256).reshape(17, 21)
+                    for k in (3, 5, 7)], axis=-1).astype(np.uint8)
+    got = decode_jpeg_pixels(encode_baseline_jpeg(rgb))
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    y, cb, cr = (np.clip(np.floor(x + 0.5), 0, 255) for x in (y, cb, cr))
+    yd = _jpeg_mirror_plane(y, QT_LUMA)
+    cbd = _jpeg_mirror_plane(cb, QT_CHROMA)
+    crd = _jpeg_mirror_plane(cr, QT_CHROMA)
+    exp = np.stack([clip8(yd + 1.402 * (crd - 128.0)),
+                    clip8(yd - 0.344136 * (cbd - 128.0)
+                          - 0.714136 * (crd - 128.0)),
+                    clip8(yd + 1.772 * (cbd - 128.0))], axis=-1)
+    assert got["px_digest"] == hashlib.md5(
+        exp.tobytes().hex().encode()).hexdigest()
+
+
+def test_jpeg_roundtrip_fidelity_and_restarts():
+    """Lossy-but-close: flat blocks reconstruct within quantizer step;
+    restart-marker streams decode byte-identically to marker-free
+    ones (predictor reset + realignment are exercised)."""
+    import numpy as np
+
+    from semlink.datapipe.jpegenc import encode_baseline_jpeg
+    from semlink.datapipe.multimodal import decode_jpeg_pixels
+
+    flat = np.full((16, 16), 77, np.uint8)
+    r = decode_jpeg_pixels(encode_baseline_jpeg(flat))
+    assert abs(r["mean"] - 77.0) <= 1.0
+
+    img = ((np.arange(24 * 40) * 7) % 256).astype(np.uint8).reshape(24, 40)
+    plain = decode_jpeg_pixels(encode_baseline_jpeg(img))
+    with_rst = decode_jpeg_pixels(
+        encode_baseline_jpeg(img, restart_interval=3))
+    assert plain["px_digest"] == with_rst["px_digest"]
+    assert plain["n_px"] == 24 * 40
+
+
+def test_jpeg_unsupported_and_garbage_gates():
+    """Progressive / subsampled / 16-bit-DQT / scanless / truncated
+    payloads yield null stats, never exceptions."""
+    import numpy as np
+
+    from semlink.datapipe.jpegenc import encode_baseline_jpeg
+    from semlink.datapipe.multimodal import decode_jpeg_pixels
+
+    img = np.zeros((8, 8), np.uint8)
+    good = encode_baseline_jpeg(img)
+
+    # SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_pixels(prog)["n_px"] is None
+    # 4:2:0 sampling factor on the first component
+    i = good.find(b"\xff\xc0")
+    sub = good[:i + 11] + b"\x22" + good[i + 12:]
+    assert decode_jpeg_pixels(sub)["n_px"] is None
+    # 16-bit quant table flag
+    j = good.find(b"\xff\xdb")
+    q16 = good[:j + 4] + b"\x10" + good[j + 5:]
+    assert decode_jpeg_pixels(q16)["n_px"] is None
+    # header-only (no SOS), truncation, garbage
+    k = good.find(b"\xff\xda")
+    assert decode_jpeg_pixels(good[:k] + b"\xff\xd9")["n_px"] is None
+    assert decode_jpeg_pixels(good[:k + 10])["n_px"] is None
+    assert decode_jpeg_pixels(b"\xff\xd8\x00\x00")["n_px"] is None
+    assert decode_jpeg_pixels(b"")["n_px"] is None
+
+
+def test_jpeg_golden_fixtures_rederive():
+    """The pinned media_jpeg golden table must equal a fresh decode of
+    the fixture generator output — a stale golden_jpeg.json fails here
+    before it can mislead the driver gate."""
+    import json
+    import os
+
+    from semlink.datapipe.multimodal import (decode_jpeg_pixels,
+                                             synthesize_jpeg_fixtures)
+
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "semlink", "datapipe",
+        "golden_jpeg.json")
+    golden = {tuple(r[:1])[0]: r[1:] for r in json.load(open(p))}
+    fx = synthesize_jpeg_fixtures(60)
+    assert len(fx) == len(golden) == 60
+    for mid, payload, w, h, ch in fx:
+        r = decode_jpeg_pixels(payload)
+        n, m6, dig = golden[mid]
+        assert r["n_px"] == n == w * h
+        assert round(r["mean"] * 1e6) == m6
+        assert r["px_digest"] == dig
