@@ -140,14 +140,19 @@ def fit_boosted_stumps(feats: DataFrame, feature_cols: list[str],
     stumps: list[dict] = []
     n = d.count()          # constant across rounds — one action, hoisted
     for rnd in range(rounds):
-        total9 = d.agg(F.sum("w9")).first()[0]
         x = F.element_at("fx", F.col("f_idx") + 1)
         pred = F.when(x > F.col("thr"), 1).otherwise(-1)
+        # every (f_idx, thr) group of the crossJoin sees every sample
+        # row, so sum(w9) per group IS the round's total weight — the
+        # separate total action is folded into this one pass
+        # (VERDICT r04 next #6: 2 driver actions → 1 per round)
         errs = (d.crossJoin(F.broadcast(grid))
                 .groupBy("f_idx", "thr")
                 .agg(F.sum(F.when(pred != F.col("_y"), F.col("w9"))
-                           .otherwise(F.lit(0))).alias("err9"))
+                           .otherwise(F.lit(0))).alias("err9"),
+                     F.sum("w9").alias("tot9"))
                 .collect())
+        total9 = errs[0].tot9
         best = None
         for r in errs:
             for pol, e in ((1, r.err9), (-1, total9 - r.err9)):

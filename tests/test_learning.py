@@ -72,8 +72,27 @@ def test_boosted_stumps_distributed_matches_numpy_mirror(spark):
         .withColumn("y", F.when((2.0 * F.col("x0") - F.col("x1")
                                  + 0.5 * F.col("x2")) > 0.7, 1).otherwise(-1)))
     got = fit_boosted_stumps(d, ["x0", "x1", "x2"], "y", rounds=6)
+    assert got == _ada_mirror(*_toy_xy(200))
 
-    def mirror(X, y, rounds=6, thresholds=tuple(i / 20 for i in range(1, 20))):
+    scored = d.withColumn(
+        "margin", stump_score_expr(got, ["x0", "x1", "x2"]))
+    acc = (scored.select(
+        (F.when(F.col("margin") > 0, 1).otherwise(-1) == F.col("y"))
+        .cast("int").alias("ok")).agg(F.avg("ok")).first()[0])
+    assert acc >= 0.9, acc
+
+
+def _toy_xy(n):
+    import numpy as np
+    ids = np.arange(n)
+    X = np.stack([((ids * 7) % 32 + 1) / 32.0,
+                  ((ids * 13) % 97) / 97.0,
+                  ((ids * 29) % 53) / 53.0], axis=1)
+    y = np.where(2 * X[:, 0] - X[:, 1] + 0.5 * X[:, 2] > 0.7, 1, -1)
+    return X, y
+
+
+def _ada_mirror(X, y, rounds=6, thresholds=tuple(i / 20 for i in range(1, 20))):
         n, k = X.shape
         w9 = np.full(n, 10 ** 9, dtype=np.int64)
         out = []
@@ -103,16 +122,24 @@ def test_boosted_stumps_distributed_matches_numpy_mirror(spark):
                                         + 0.5)).astype(np.int64)
         return out
 
-    ids = np.arange(200)
-    X = np.stack([((ids * 7) % 32 + 1) / 32.0,
-                  ((ids * 13) % 97) / 97.0,
-                  ((ids * 29) % 53) / 53.0], axis=1)
-    y = np.where(2 * X[:, 0] - X[:, 1] + 0.5 * X[:, 2] > 0.7, 1, -1)
-    assert got == mirror(X, y)
 
-    scored = d.withColumn(
-        "margin", stump_score_expr(got, ["x0", "x1", "x2"]))
-    acc = (scored.select(
-        (F.when(F.col("margin") > 0, 1).otherwise(-1) == F.col("y"))
-        .cast("int").alias("ok")).agg(F.avg("ok")).first()[0])
-    assert acc >= 0.9, acc
+def test_boosted_stumps_large_sample_single_pass(spark):
+    """10^4-sample fit: still bit-identical to the numpy mirror, and
+    the folded aggregation (VERDICT r04 next #6) holds the per-round
+    driver traffic to the |grid|-row error table — total weight now
+    rides in the same collect instead of its own action."""
+    from pyspark.sql import functions as F
+
+    from semlink.learning import fit_boosted_stumps
+
+    n = 10_000
+    d = (spark.range(n).select(
+        "id",
+        (((F.col("id") * 7) % 32 + 1) / 32.0).alias("x0"),
+        (((F.col("id") * 13) % 97) / 97.0).alias("x1"),
+        (((F.col("id") * 29) % 53) / 53.0).alias("x2"))
+        .withColumn("y", F.when((2.0 * F.col("x0") - F.col("x1")
+                                 + 0.5 * F.col("x2")) > 0.7, 1).otherwise(-1)))
+    got = fit_boosted_stumps(d, ["x0", "x1", "x2"], "y", rounds=4)
+    assert len(got) == 4 and [s["rnd"] for s in got] == [0, 1, 2, 3]
+    assert got == _ada_mirror(*_toy_xy(n), rounds=4)
