@@ -28,6 +28,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 PAIRS = "/tmp/semlink_cos_pairs"
 DOCS = "/tmp/semlink_mh_docs"
+MEDIA_J = "/tmp/semlink_media_jpeg"
+MEDIA_P = "/tmp/semlink_media_png"
 
 CHILD = r"""
 import sys, time
@@ -102,6 +104,14 @@ elif kernel == "fingerprint":
         out = (ts.with_fingerprints(df)
                .agg(F.max("fp_exact"), F.max("fp_min_shingle"))
                .collect()[0][0])
+elif kernel == "decode":
+    # round-5 decoder-throughput cell (VERDICT r04 next #4): the full
+    # Arrow mapInPandas pixel-decode path over pre-materialized
+    # payloads — JPEG exercises Huffman+IDCT, PNG inflate+unfilter
+    from semlink.datapipe.multimodal import extract_pixel_stats
+    df = spark.read.parquet(%(media_j)r if impl == "jpeg" else %(media_p)r)
+    t0 = time.time()
+    out = extract_pixel_stats(df).agg(F.sum("n_px")).collect()[0][0]
 print("RESULT", time.time() - t0, out, flush=True)
 """
 
@@ -128,13 +138,28 @@ def gen(n_pairs: int, n_docs: int) -> None:
          .select(F.col("id").alias("doc_id"),
                  F.concat_ws(" ", *[tok(j) for j in range(40)]).alias("text"))
          .repartition(64).write.mode("overwrite").parquet(DOCS))
+    if not os.path.exists(os.path.join(MEDIA_J, "_SUCCESS")):
+        from semlink.datapipe.multimodal import synthesize_jpeg_fixtures
+        fx = synthesize_jpeg_fixtures(600)
+        rows = [(f"{mid}_{r}", bytearray(pl))
+                for r in range(20) for mid, pl, _w, _h, _c in fx]
+        (spark.createDataFrame(rows, "media_id string, payload binary")
+         .repartition(64).write.mode("overwrite").parquet(MEDIA_J))
+    if not os.path.exists(os.path.join(MEDIA_P, "_SUCCESS")):
+        from semlink.datapipe.multimodal import synthesize_media
+        d = spark.range(12000).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("text"))
+        (synthesize_media(d).select("media_id", "payload")
+         .repartition(64).write.mode("overwrite").parquet(MEDIA_P))
     spark.stop()
 
 
 def run(kernel: str, impl: str, cpus: int) -> float:
     p = subprocess.run(
         [sys.executable, "-c",
-         CHILD % {"repo": REPO, "pairs": PAIRS, "docs": DOCS},
+         CHILD % {"repo": REPO, "pairs": PAIRS, "docs": DOCS,
+                  "media_j": MEDIA_J, "media_p": MEDIA_P},
          kernel, impl, str(cpus)],
         capture_output=True, text=True, timeout=3600)
     lines = [l for l in p.stdout.splitlines() if l.startswith("RESULT")]
@@ -152,11 +177,13 @@ def main():
                           ("minhash", ("hof", "exploded")),
                           ("quality", ("regex", "translate")),
                           ("wordtok", ("regex", "runs")),
-                          ("fingerprint", ("hof", "exploded"))):
+                          ("fingerprint", ("hof", "exploded")),
+                          ("decode", ("jpeg", "png"))):
         if only and kernel != only:
             continue
         row = {"kernel": kernel,
-               "n": n_pairs if kernel == "cosine" else n_docs}
+               "n": (n_pairs if kernel == "cosine"
+                     else 12000 if kernel == "decode" else n_docs)}
         for impl in impls:
             t32 = run(kernel, impl, 32)
             t8 = run(kernel, impl, 8)

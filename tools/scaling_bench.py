@@ -39,12 +39,18 @@ def main():
     # standard noise-robust wall-time estimator.
     n_runs = int(os.environ.get("SEMLINK_SCALING_RUNS", "2"))
 
+    import statistics
+
+    draws = {}
+
     def best(cpus: int) -> dict:
         rs = [run(cpus, replicas, pipeline_only) for _ in range(n_runs)]
+        draws[cpus] = sorted(r["queries"]["pipeline_e2e"] for r in rs)
         return min(rs, key=lambda r: r["queries"]["pipeline_e2e"])
 
     r32 = best(32)
     r8 = best(8)
+    med8, med32 = (statistics.median(draws[8]), statistics.median(draws[32]))
 
     t8 = r8["queries"]["pipeline_e2e"]
     t32 = r32["queries"]["pipeline_e2e"]
@@ -64,7 +70,10 @@ skew join), shuffle.partitions = cores, Arrow batch 64k.
 | N   | 8  | {t8:.1f} | {r8['pipeline_turns_per_sec']:,} | {r8['value']:.1f} |
 | 4N  | 32 | {t32:.1f} | {r32['pipeline_turns_per_sec']:,} | {r32['value']:.1f} |
 
-**Pipeline scaling efficiency (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8).
+**Pipeline scaling efficiency (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8);
+median-based: ({med8:.1f} / {med32:.1f}) / 4 = {(med8 / med32) / 4:.3f}.
+All draws (s), VERDICT r04 next #5 — min AND median quoted:
+8 cores {draws[8]}, 32 cores {draws[32]}.
 All-queries efficiency: {tot_eff:.3f} (includes small fixed-cost
 queries that don't scale — reported for transparency).
 
