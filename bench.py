@@ -46,6 +46,8 @@ HEADLINE = [
     "ann_kmeans_centroids", "ann_ivf_near_dup_edges",
     "text_quality_score", "text_fingerprints", "media_features",
     "media_pixels", "media_audio", "text_langid",
+    "text_repetition", "text_heuristic_filters", "text_pii_stats",
+    "ann_embed_text", "media_jpeg",
     "agg_pricing_summary",
 ]
 
@@ -54,7 +56,10 @@ HEADLINE = [
 # on the shared list, not the grown one (VERDICT r02 next #7).
 # text_langid existed before but was upgraded in place (stopword-ratio
 # heuristic → profile argmax) and was not in the r03 headline.
-NEW_QUERIES = ["media_pixels", "media_audio", "text_langid"]
+# round 5: the Gopher/C4 family, PII stats, the text→embedding bridge
+# and the baseline JPEG decode did not exist in the r04 headline
+NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
+               "text_pii_stats", "ann_embed_text", "media_jpeg"]
 
 
 def ensure_bench_fixture(spark) -> str:

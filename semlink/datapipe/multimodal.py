@@ -30,6 +30,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -431,8 +432,9 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _jpeg_decode_block(br, dctab, actab, pred):
-    """One 8×8 block of zigzag-ordered coefficients (T.81 F.2.2)."""
-    import numpy as np
+    """One 8×8 block of zigzag-ordered coefficients (T.81 F.2.2).
+    numpy comes from module scope — this runs once per block, hundreds
+    of thousands of times per decode batch (code-review r5 #4)."""
     s = _jpeg_read_symbol(br, dctab)
     dc = pred + (_jpeg_extend(br.read(s), s) if s else 0)
     zz = np.zeros(64, dtype=np.int32)
@@ -549,7 +551,15 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             i += 2 + ln
         if scan_start is None or w is None or not comps:
             return none
+        if not w or not h:
+            return none                      # zero-dim SOF: no NaN mean
         if len(scan_comps) not in (1, 3):
+            return none
+        if len(scan_comps) != len(comps):
+            # non-interleaved multi-scan baseline (one SOS per
+            # component, legal per T.81): decoding only the first scan
+            # would report luma-only stats as if grayscale — gate it
+            # honestly instead (code-review r5 finding #1)
             return none
 
         # split scan into restart segments, un-stuff each

@@ -48,6 +48,15 @@ def _count_char(col: Column, ch: str) -> Column:
     return F.length(col) - F.length(F.translate(col, ch, ""))
 
 
+def _frac6(num: str, den: str) -> Column:
+    """round(num/max(den,1) * 1e6) as bigint — the scaled-bigint ratio
+    convention shared by every oracle-gated metric in this module (one
+    definition so the Spark and DuckDB expression shapes can't drift
+    apart per call site)."""
+    return F.round(F.col(num).cast("double")
+                   / F.greatest(F.col(den), F.lit(1)) * 1_000_000)             .cast("bigint")
+
+
 def word_token_count(col: Column) -> Column:
     """Regex-free count of maximal [A-Za-z]+ and [0-9]+ runs: classify
     letters→'a' and digits→'0' with translate (any other char breaks a
@@ -352,10 +361,7 @@ def with_repetition_stats(df: DataFrame, id_col: str = "doc_id",
     paras = _dup_stats(df, id_col, t, "\n\n", "pp")
     grams = top_ngram_char_fracs(df, id_col, text_col)
 
-    def frac6(num, den):
-        return F.round(F.col(num).cast("double")
-                       / F.greatest(F.col(den), F.lit(1)) * 1_000_000) \
-                .cast("bigint")
+    frac6 = _frac6
 
     out = (df.select(id_col)
            .join(lines, id_col, "left").join(paras, id_col, "left")
@@ -427,10 +433,7 @@ def with_heuristic_flags(df: DataFrame, id_col: str = "doc_id",
               "_nl", "_bl", "_el"):
         out = out.withColumn(c, F.coalesce(F.col(c), zero))
 
-    def r6(num, den):
-        return F.round(F.col(num).cast("double")
-                       / F.greatest(F.col(den), F.lit(1)) * 1_000_000) \
-                .cast("bigint")
+    r6 = _frac6
 
     out = out.withColumns({
         "mean_word_len6": r6("_wchars", "n_words"),

@@ -209,7 +209,7 @@ def ann_ivf_near_dup_edges(spark, sf_dir):
 
 
 # ---------------------------------------------------- text → embedding
-from ..datapipe.simsearch import EMBED_DIM, hashed_embedding_components
+EMBED_DIM = ss.EMBED_DIM
 
 _EMB_VSUM = ",\n          ".join(
     f"CAST(sum(CASE WHEN b = {j} THEN s ELSE 0 END) AS BIGINT) AS v{j}"
@@ -254,7 +254,7 @@ def ann_embed_text(spark, sf_dir):
     same vectors as array<float> for the ANN operators; composition
     (embed → IVF near-dup edges on planted paraphrase twins) is
     pytest-pinned."""
-    c = hashed_embedding_components(_docs(spark, sf_dir))
+    c = ss.hashed_embedding_components(_docs(spark, sf_dir))
     norm = F.sqrt(F.col("ss").cast("double"))
     emb6 = F.array(*[
         F.when(F.col("ss") > 0,

@@ -121,13 +121,13 @@ def stream_dedup_exact(spark, sf_dir):
 
 @q("stream_link_sessions", None)   # rows-only: streaming engine
 def stream_link_sessions(spark, sf_dir):
-    """§2.10 composed (VERDICT r04 next #7): ONE availableNow pass of
-    the streaming linking path feeds BOTH evidence surfaces — raw
-    candidate links (stream_candidates) and session-windowed
-    per-conversation counts (windowed_mention_counts) — returned as
-    window rows joined with exact per-conversation candidate totals,
-    so the one driver-recorded streaming row witnesses the whole
-    §2.10 batch==stream family. Consolidates
+    """§2.10 composed (VERDICT r04 next #7): one source write feeds
+    TWO availableNow streaming passes — raw candidate links
+    (stream_candidates) and session-windowed per-conversation counts
+    (windowed_mention_counts, which re-runs the linking join per the
+    streaming API) — returned as window rows joined with exact
+    per-conversation candidate totals, so the one driver-recorded
+    streaming row witnesses the whole §2.10 batch==stream family. Consolidates
     stream_candidates_availablenow + stream_session_windows (both stay
     registered); engine-specific execution — rows-only by design."""
     import tempfile

@@ -797,6 +797,19 @@ def test_jpeg_unsupported_and_garbage_gates():
     assert decode_jpeg_pixels(good[:k + 10])["n_px"] is None
     assert decode_jpeg_pixels(b"\xff\xd8\x00\x00")["n_px"] is None
     assert decode_jpeg_pixels(b"")["n_px"] is None
+    # zero-dimension SOF must not produce n_px=0 with NaN mean
+    zi = good.find(b"\xff\xc0")
+    zero_h = good[:zi + 5] + b"\x00\x00" + good[zi + 7:]
+    assert decode_jpeg_pixels(zero_h)["n_px"] is None
+    # non-interleaved multi-scan color (3-comp SOF, 1-comp SOS) must
+    # gate to null, not report the luma plane as grayscale stats
+    import numpy as np2
+    rgb = np2.zeros((8, 8, 3), np2.uint8)
+    col = encode_baseline_jpeg(rgb)
+    si = col.find(b"\xff\xda")
+    sos1 = b"\xff\xda" + b"\x00\x08" + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    multi = col[:si] + sos1 + col[si + 14:]
+    assert decode_jpeg_pixels(multi)["n_px"] is None
 
 
 def test_jpeg_golden_fixtures_rederive():
