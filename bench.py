@@ -47,7 +47,7 @@ HEADLINE = [
     "text_quality_score", "text_fingerprints", "media_features",
     "media_pixels", "media_audio", "text_langid",
     "text_repetition", "text_heuristic_filters", "text_pii_stats",
-    "ann_embed_text", "media_jpeg",
+    "text_corpus_filter", "ann_embed_text", "media_jpeg",
     "agg_pricing_summary",
 ]
 
@@ -59,7 +59,8 @@ HEADLINE = [
 # round 5: the Gopher/C4 family, PII stats, the text→embedding bridge
 # and the baseline JPEG decode did not exist in the r04 headline
 NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
-               "text_pii_stats", "ann_embed_text", "media_jpeg"]
+               "text_pii_stats", "text_corpus_filter",
+               "ann_embed_text", "media_jpeg"]
 
 
 def ensure_bench_fixture(spark) -> str:

@@ -265,6 +265,15 @@ ALPHA_WORD_FRAC_MIN6 = 800_000       # >= 80% words contain a letter
 BULLET_PREFIXES = ("- ", "* ", "•")      # '-', '*', '•'
 ELLIPSIS_SUFFIXES = ("...", "…")         # '...', '…'
 
+# repetition gate bounds (Gopher App. A defaults, scaled-bigint)
+DUP_LINE_FRAC_MAX6 = 300_000         # duplicate-line fraction <= 0.30
+DUP_PARA_FRAC_MAX6 = 300_000
+DUP_LINE_CHAR_FRAC_MAX6 = 200_000    # by character mass <= 0.20
+DUP_PARA_CHAR_FRAC_MAX6 = 200_000
+TOP2GRAM_FRAC_MAX6 = 200_000         # top-n-gram character mass
+TOP3GRAM_FRAC_MAX6 = 180_000
+TOP4GRAM_FRAC_MAX6 = 160_000
+
 
 def _dup_stats(df: DataFrame, id_col: str, text_expr: Column,
                sep: str, prefix: str) -> DataFrame:
@@ -463,6 +472,33 @@ def with_heuristic_flags(df: DataFrame, id_col: str = "doc_id",
         id_col, "n_words", "mean_word_len6", "symbol_ratio6",
         "bullet_line_frac6", "ellipsis_line_frac6", "alpha_word_frac6",
         "stop_hits", *sorted(flags), "pass_all")
+
+
+def corpus_filter(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The curation VERDICT stage: compose the heuristic gate battery
+    (with_heuristic_flags) with the repetition gates
+    (with_repetition_stats at the Gopher App. A bounds) into one
+    keep/drop decision per doc — the end-to-end shape a training-data
+    pipeline actually applies, mirroring how dedup_near_dup_clusters
+    composes its family. Emits both family verdicts plus ``keep``."""
+    h = with_heuristic_flags(df, id_col, text_col).select(
+        id_col, F.col("pass_all").alias("pass_heuristics"))
+    r = with_repetition_stats(df, id_col, text_col)
+    pass_rep = (
+        (F.col("dup_line_frac6") <= DUP_LINE_FRAC_MAX6)
+        & (F.col("dup_para_frac6") <= DUP_PARA_FRAC_MAX6)
+        & (F.col("dup_line_char_frac6") <= DUP_LINE_CHAR_FRAC_MAX6)
+        & (F.col("dup_para_char_frac6") <= DUP_PARA_CHAR_FRAC_MAX6)
+        & (F.col("top2gram_frac6") <= TOP2GRAM_FRAC_MAX6)
+        & (F.col("top3gram_frac6") <= TOP3GRAM_FRAC_MAX6)
+        & (F.col("top4gram_frac6") <= TOP4GRAM_FRAC_MAX6)
+    ).cast("bigint")
+    rr = r.select(F.col(id_col), pass_rep.alias("pass_repetition"))
+    return (h.join(rr, id_col)
+            .select(F.col(id_col), "pass_heuristics", "pass_repetition",
+                    (F.col("pass_heuristics") * F.col("pass_repetition"))
+                    .alias("keep")))
 
 
 # PII detection patterns (detection COUNTS only — no replace on the

@@ -155,7 +155,16 @@ _BULLET_LINE = "- spark data table"
 _ELLIPSIS_LINE = "see the full query plan..."
 _BOILER_PARA = "the same boilerplate paragraph again"
 
+# half the docs get a Gopher-stopword tail so the required-stopword
+# gate (and therefore the composed verdict) has both outcomes on this
+# synthetic vocabulary, which otherwise contains only 'the'
+_STOP_TAIL = " and that have with to of"
+
 _VARIED_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN t1 || '{_STOP_TAIL}'
+              ELSE t1 END AS t
+  FROM (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0
               THEN repeat('{_BULLET_LINE}' || chr(10), 4) || t0
@@ -163,12 +172,12 @@ _VARIED_SQL = f"""
               THEN t0 || repeat(chr(10) || '{_ELLIPSIS_LINE}', 3)
               WHEN doc_id % 7 = 2
               THEN t0 || repeat(chr(10) || chr(10) || '{_BOILER_PARA}', 2)
-              ELSE t0 END AS t
+              ELSE t0 END AS t1
   FROM (SELECT doc_id,
                replace(replace(coalesce(text, ''),
                                ' join ', chr(10) || chr(10) || 'join '),
                        ' data ', chr(10) || 'data ') AS t0
-        FROM documents)
+        FROM documents))
 """
 
 
@@ -182,13 +191,15 @@ def _varied_docs(spark, sf_dir):
           .when(m == 1, F.concat(t0, F.repeat(F.lit("\n" + _ELLIPSIS_LINE), 3)))
           .when(m == 2, F.concat(t0, F.repeat(F.lit("\n\n" + _BOILER_PARA), 2)))
           .otherwise(t0))
-    return d.select("doc_id", t1.alias("text"))
+    t2 = F.when(F.col("doc_id") % 2 == 0,
+                F.concat(t1, F.lit(_STOP_TAIL))).otherwise(t1)
+    return d.select("doc_id", t2.alias("text"))
 
 
 _NS_SQL = "(VALUES (2), (3), (4)) AS ns(n)"
 
 
-@q("text_repetition", f"""
+_REPETITION_SQL = f"""
   WITH base AS ({_VARIED_SQL}),
   lf AS (SELECT doc_id, u FROM (
            SELECT doc_id, unnest(string_split(t, chr(10))) AS u FROM base)
@@ -259,7 +270,9 @@ _NS_SQL = "(VALUES (2), (3), (4)) AS ns(n)"
   FROM base b
   LEFT JOIN ln USING (doc_id) LEFT JOIN pp USING (doc_id)
   LEFT JOIN piv USING (doc_id)
-""")
+"""
+
+@q("text_repetition", _REPETITION_SQL)
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition metrics (Rae et al. '21 App. A) over the
     deterministically varied corpus: duplicate-line / duplicate-
@@ -271,7 +284,7 @@ def text_repetition(spark, sf_dir):
 
 _STOPW_IN = ", ".join(f"'{w}'" for w in ts.GOPHER_STOPWORDS)
 
-@q("text_heuristic_filters", f"""
+_HEURISTIC_SQL = f"""
   WITH base AS ({_VARIED_SQL}),
   tk AS (SELECT doc_id, unnest(list_filter(
              string_split_regex(trim(t), ' +'), x -> x <> '')) AS w
@@ -355,7 +368,9 @@ _STOPW_IN = ", ".join(f"'{w}'" for w in ts.GOPHER_STOPWORDS)
            * pass_bullet * pass_ellipsis * pass_alpha * pass_stopwords
            AS pass_all
   FROM fl
-""")
+"""
+
+@q("text_heuristic_filters", _HEURISTIC_SQL)
 def text_heuristic_filters(spark, sf_dir):
     """The C4/Gopher heuristic gate battery (Raffel et al. '20 §2.2,
     Rae et al. '21 App. A) over the varied corpus: every metric as a
@@ -437,3 +452,32 @@ def text_token_quality(spark, sf_dir):
     qs = ts.with_quality_score(d).select(
         "doc_id", _r6(F.col("quality_score")).alias("quality6"))
     return t.join(qs, "doc_id")
+
+
+@q("text_corpus_filter", f"""
+  SELECT h.doc_id,
+         h.pass_all AS pass_heuristics,
+         CAST(r.dup_line_frac6 <= {ts.DUP_LINE_FRAC_MAX6}
+              AND r.dup_para_frac6 <= {ts.DUP_PARA_FRAC_MAX6}
+              AND r.dup_line_char_frac6 <= {ts.DUP_LINE_CHAR_FRAC_MAX6}
+              AND r.dup_para_char_frac6 <= {ts.DUP_PARA_CHAR_FRAC_MAX6}
+              AND r.top2gram_frac6 <= {ts.TOP2GRAM_FRAC_MAX6}
+              AND r.top3gram_frac6 <= {ts.TOP3GRAM_FRAC_MAX6}
+              AND r.top4gram_frac6 <= {ts.TOP4GRAM_FRAC_MAX6} AS BIGINT)
+           AS pass_repetition,
+         h.pass_all * CAST(r.dup_line_frac6 <= {ts.DUP_LINE_FRAC_MAX6}
+              AND r.dup_para_frac6 <= {ts.DUP_PARA_FRAC_MAX6}
+              AND r.dup_line_char_frac6 <= {ts.DUP_LINE_CHAR_FRAC_MAX6}
+              AND r.dup_para_char_frac6 <= {ts.DUP_PARA_CHAR_FRAC_MAX6}
+              AND r.top2gram_frac6 <= {ts.TOP2GRAM_FRAC_MAX6}
+              AND r.top3gram_frac6 <= {ts.TOP3GRAM_FRAC_MAX6}
+              AND r.top4gram_frac6 <= {ts.TOP4GRAM_FRAC_MAX6} AS BIGINT)
+           AS keep
+  FROM ({_HEURISTIC_SQL}) h JOIN ({_REPETITION_SQL}) r USING (doc_id)
+""")
+def text_corpus_filter(spark, sf_dir):
+    """The composed curation verdict (heuristic battery × Gopher
+    repetition gates → keep/drop) over the varied corpus — the DuckDB
+    oracle reuses both family bodies as subqueries, so the composition
+    is hash-gated end-to-end like dedup_near_dup_clusters."""
+    return ts.corpus_filter(_varied_docs(spark, sf_dir))

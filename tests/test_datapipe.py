@@ -12,6 +12,7 @@ FAST = [
     "text_fingerprints", "ann_ivf_cell_topk", "media_features",
     "media_pixels", "rl_dict_stats", "rl_mention_pairs",
     "text_repetition", "text_heuristic_filters", "text_pii_stats",
+    "text_corpus_filter",
 ]
 
 
@@ -834,3 +835,32 @@ def test_jpeg_golden_fixtures_rederive():
         assert r["n_px"] == n == w * h
         assert round(r["mean"] * 1e6) == m6
         assert r["px_digest"] == dig
+
+
+def test_corpus_filter_composed_verdict(spark):
+    """The curation verdict composes both families: a clean doc is
+    kept; failing EITHER the heuristic battery (no stopwords) OR a
+    repetition gate (duplicate paragraphs / n-gram spam) drops it."""
+    from semlink.datapipe.textstats import corpus_filter
+
+    # varied prose (no repeats — a x3 repeat trips the top-4-gram
+    # mass gate at the published 0.16 bound, correctly)
+    good = ("the quick brown fox jumps over lazy dogs and cats "
+            "that have been with us for many seasons now while "
+            "winter storms gather along northern coastal ridges "
+            "where fishing boats return to harbor before dusk "
+            "and merchants count their wares beside olive groves "
+            "as travelers from distant villages trade salted fish "
+            "for woven cloth under lantern light near the old mill")
+    nostop = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 8
+    dup_paras = ("the first paragraph is here with that and have\n\n" * 5
+                 + good)
+    spam = "buy now " * 60 + " the and that have with"
+    d = spark.createDataFrame(
+        [(1, good), (2, nostop), (3, dup_paras), (4, spam)],
+        "doc_id long, text string")
+    r = {x.doc_id: x for x in corpus_filter(d).collect()}
+    assert r[1].keep == 1
+    assert r[2].pass_heuristics == 0 and r[2].keep == 0
+    assert r[3].pass_repetition == 0 and r[3].keep == 0
+    assert r[4].pass_repetition == 0 and r[4].keep == 0
