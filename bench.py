@@ -48,6 +48,7 @@ HEADLINE = [
     "media_pixels", "media_audio", "text_langid",
     "text_repetition", "text_heuristic_filters", "text_pii_stats",
     "text_corpus_filter", "ann_embed_text", "media_jpeg",
+    "rl_fellegi_sunter", "rl_blocking_quality",
     "agg_pricing_summary",
 ]
 
@@ -60,7 +61,8 @@ HEADLINE = [
 # and the baseline JPEG decode did not exist in the r04 headline
 NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "text_pii_stats", "text_corpus_filter",
-               "ann_embed_text", "media_jpeg"]
+               "ann_embed_text", "media_jpeg",
+               "rl_fellegi_sunter", "rl_blocking_quality"]
 
 
 def ensure_bench_fixture(spark) -> str:

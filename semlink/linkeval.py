@@ -1,0 +1,156 @@
+"""Probabilistic linkage scoring and blocking evaluation.
+
+Two classic entity-resolution components the blocking + pairwise-
+scoring spine (pairs.py) feeds into:
+
+- **Fellegi-Sunter match weights** (Fellegi & Sunter, JASA 1969;
+  Newcombe et al. 1959): per-comparison-field conditional agreement
+  probabilities m_k = P(agree_k | match) and u_k = P(agree_k |
+  non-match) estimated from labeled pairs, then the log-likelihood
+  match weight  W = sum_k [ f_k ? ln(m_k/u_k) : ln((1-m_k)/(1-u_k)) ]
+  per candidate pair. Estimation is ONE map-side-combined aggregation
+  (2k+2 sums); the resulting single weight row is broadcast back onto
+  the pair table, so scoring is pure JVM column arithmetic — no
+  shuffle beyond the caller's pair generation, no UDF.
+
+- **Blocking quality metrics** (Christen, "Data Matching", Springer
+  2012, ch. 7): reduction ratio, pairs completeness and pairs quality
+  of a candidate-pair set against entity labels. Ground-truth pair
+  counts come from a groupBy-size aggregation (sum of C(n_e, 2)),
+  never from materializing the true-pair set, so the evaluation
+  scales to corpora where the match set itself is huge.
+
+The reference mount is empty (SURVEY.md §0); the capability contract
+is BASELINE.json's blocking + pairwise-scoring pipeline, for which
+these are the standard published evaluation / scoring companions.
+
+Laplace smoothing ((s+1)/(n+2)) keeps every m/u strictly inside
+(0, 1) so the log weights are always finite, and makes the estimate
+deterministic on degenerate inputs (no matches, or a field that
+always agrees).
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def block_pairs(recs: DataFrame, block_col: str, rec_id_col: str = "rec_id",
+                carry_cols: Sequence[str] = ()) -> DataFrame:
+    """All within-block record pairs (rec_l < rec_r), the comparison
+    space a blocking key induces. The join is a pure equi join on the
+    block key; the C(B, 2) fan-out per block is the metric's
+    definition, so block sizes must be bounded by the caller (a
+    low-cardinality key like nation here, or capped LSH buckets as in
+    datapipe.dedup at web scale)."""
+    def side(suffix):
+        cols = [F.col(rec_id_col).alias(f"rec_{suffix}")]
+        cols += [F.col(c).alias(f"{c}_{suffix}") for c in carry_cols]
+        return recs.select(F.col(block_col).alias("_bk"), *cols)
+
+    return (side("l").join(side("r"), "_bk")
+            .filter(F.col("rec_l") < F.col("rec_r"))
+            .drop("_bk"))
+
+
+def blocking_quality(recs: DataFrame, cand: DataFrame,
+                     ent_col: str = "ent_id",
+                     rec_id_col: str = "rec_id") -> DataFrame:
+    """One-row blocking evaluation (Christen 2012 ch. 7):
+
+    - ``rr6``  reduction ratio   1 - |cand| / C(n_recs, 2)
+    - ``pc6``  pairs completeness |cand ∩ true| / |true|
+    - ``pq6``  pairs quality      |cand ∩ true| / |cand|
+
+    ``true`` pairs are counted as sum over entities of C(n_e, 2) from
+    one groupBy — the matched-pair SET is never built. |cand ∩ true|
+    labels the candidate pairs through two broadcast-friendly joins on
+    the record ids. Scaled-bigint fractions per the repo convention.
+    """
+    ids = recs.select(F.col(rec_id_col), F.col(ent_col))
+    n_recs = recs.select(F.count(F.lit(1)).alias("n_recs"))
+    true_cnt = (ids.groupBy(ent_col)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .select(F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                        .cast("bigint").alias("n_true")))
+    labeled = (cand
+               .join(ids.select(F.col(rec_id_col).alias("rec_l"),
+                                F.col(ent_col).alias("_el")), "rec_l")
+               .join(ids.select(F.col(rec_id_col).alias("rec_r"),
+                                F.col(ent_col).alias("_er")), "rec_r"))
+    found = labeled.select(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum((F.col("_el") == F.col("_er")).cast("bigint"))
+        .cast("bigint").alias("n_found"))
+    row = (n_recs.crossJoin(true_cnt).crossJoin(found))
+    total_pairs = (F.col("n_recs") * (F.col("n_recs") - 1) / 2)
+    r6 = lambda c: F.round(c * 1_000_000).cast("bigint")  # noqa: E731
+    return row.select(
+        F.col("n_recs").cast("bigint").alias("n_recs"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("n_true"), F.col("n_found"),
+        r6(F.lit(1.0) - F.col("n_cand").cast("double")
+           / total_pairs.cast("double")).alias("rr6"),
+        r6(F.col("n_found").cast("double")
+           / F.greatest(F.col("n_true"), F.lit(1)).cast("double"))
+        .alias("pc6"),
+        r6(F.col("n_found").cast("double")
+           / F.greatest(F.col("n_cand"), F.lit(1)).cast("double"))
+        .alias("pq6"))
+
+
+def fs_estimate_weights(pairs: DataFrame, fields: Sequence[str],
+                        label_col: str = "is_match") -> DataFrame:
+    """Fellegi-Sunter m/u estimation from labeled pairs: ONE
+    aggregation producing a single row with, per field k,
+
+        m_k = (sum(f_k * y) + 1) / (n_match + 2)      (Laplace)
+        u_k = (sum(f_k * (1-y)) + 1) / (n_nonmatch + 2)
+
+    as double columns ``m_<k>`` / ``u_<k>`` plus the raw counts. The
+    smoothing keeps weights finite on degenerate fields. All partial
+    sums combine map-side; only one row ever moves."""
+    y = F.col(label_col).cast("bigint")
+    aggs = [F.sum(y).cast("bigint").alias("nm"),
+            F.sum(1 - y).cast("bigint").alias("nu")]
+    for k in fields:
+        f = F.col(k).cast("bigint")
+        aggs.append(F.sum(f * y).cast("bigint").alias(f"sa_{k}"))
+        aggs.append(F.sum(f * (1 - y)).cast("bigint").alias(f"su_{k}"))
+    w = pairs.agg(*aggs)
+    for k in fields:
+        w = w.withColumn(
+            f"m_{k}", (F.col(f"sa_{k}") + 1).cast("double")
+            / (F.col("nm") + 2).cast("double"))
+        w = w.withColumn(
+            f"u_{k}", (F.col(f"su_{k}") + 1).cast("double")
+            / (F.col("nu") + 2).cast("double"))
+    return w
+
+
+def _fs_score_expr(fields: Sequence[str]) -> Column:
+    """sum_k [ f_k ? ln(m_k/u_k) : ln((1-m_k)/(1-u_k)) ], added in
+    field order so the Spark and DuckDB expression trees (and hence
+    the rounded scaled-bigint hashes) coincide bit-for-bit."""
+    total = None
+    for k in fields:
+        m, u = F.col(f"m_{k}"), F.col(f"u_{k}")
+        term = F.when(F.col(k) == 1, F.log(m / u)) \
+            .otherwise(F.log((F.lit(1.0) - m) / (F.lit(1.0) - u)))
+        total = term if total is None else total + term
+    return total
+
+
+def fs_score(pairs: DataFrame, weights: DataFrame,
+             fields: Sequence[str], out_col: str = "fs6") -> DataFrame:
+    """Attach the scaled-bigint Fellegi-Sunter log-likelihood weight
+    to every pair: broadcast the 1-row weight table (the only
+    crossJoin is 1-row, the sanctioned shape) and evaluate the pure
+    column expression — whole-stage-codegen friendly, no UDF."""
+    scored = pairs.crossJoin(F.broadcast(weights))
+    return scored.withColumn(
+        out_col,
+        F.round(_fs_score_expr(fields) * 1_000_000).cast("bigint")) \
+        .select(*pairs.columns, out_col)

@@ -61,6 +61,7 @@ from . import ann       # noqa: E402,F401  similarity search (datapipe)
 from . import text      # noqa: E402,F401  text analysis (datapipe)
 from . import media     # noqa: E402,F401  multimodal plumbing
 from . import rlcov     # noqa: E402,F401  record-linkage coverage tail
+from . import linkeval  # noqa: E402,F401  FS weights + blocking quality
 from . import mlops     # noqa: E402,F401  ML + ops queries
 from . import streamq   # noqa: E402,F401  streaming queries
 from . import sampling  # noqa: E402,F401  stratified sampling

@@ -1,0 +1,196 @@
+"""Linkage-evaluation queries: Fellegi-Sunter weights and blocking
+quality (semlink.linkeval) over a deterministically synthesized
+record-pair benchmark.
+
+The synthetic corpus carries no within-entity field correlation
+(documents text/lang/source are independent draws), so — per the
+repo's planted-derivation pattern (the varied text corpus, the
+injected-duplicate unique-filter feed) — both engines derive the SAME
+records-plus-corrupted-duplicates table from TPC-H ``customer`` with
+pure string/arithmetic expressions: every third customer gains a
+duplicate record whose name / market segment / balance / blocking key
+are deterministically corrupted on coprime moduli, so each comparison
+field has both agreeing and disagreeing outcomes on true matches
+(m < 1) and non-matches (u > 0), and the blocking key loses a known
+slice of true pairs (pairs completeness < 1)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..linkeval import (block_pairs, blocking_quality, fs_estimate_weights,
+                        fs_score)
+from . import _read, q
+
+# Corruption moduli — shared verbatim with the oracle SQL below.
+_DUP_MOD = 3        # every third customer gets a duplicate record
+_NAME_MOD = 5       # heavy name corruption (lev 3 > threshold 2)
+_SEG_MOD = 7        # market segment corrupted
+_BAL_MOD = 2        # balance shifted by 100 cents
+_NAT_MOD = 11       # blocking key (nation) corrupted -> pair escapes
+_LEV_MAX = 2        # name-agreement edit-distance threshold
+
+_RECS_SQL = f"""
+  WITH base AS (
+    SELECT c_custkey AS ck, c_name AS name, c_mktsegment AS seg,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           c_nationkey AS nat
+    FROM customer),
+  recs AS (
+    SELECT ck * 2 AS rec_id, ck AS ent_id, name, seg, bal_cents, nat
+    FROM base
+    UNION ALL
+    SELECT ck * 2 + 1, ck,
+           CASE WHEN ck % {_NAME_MOD} = 0 THEN 'ZZZ' || name
+                ELSE substr(name, 1, 16) || 'XX' END,
+           CASE WHEN ck % {_SEG_MOD} = 0 THEN 'CORRUPT' ELSE seg END,
+           CASE WHEN ck % {_BAL_MOD} = 0 THEN bal_cents + 100
+                ELSE bal_cents END,
+           CASE WHEN ck % {_NAT_MOD} = 0 THEN (nat + 1) % 25 ELSE nat END
+    FROM base WHERE ck % {_DUP_MOD} = 0)
+"""
+
+_LAB_SQL = f"""
+  cand AS (
+    SELECT l.rec_id AS rec_l, r.rec_id AS rec_r,
+           l.ent_id AS ent_l, r.ent_id AS ent_r,
+           l.name AS name_l, r.name AS name_r,
+           l.seg AS seg_l, r.seg AS seg_r,
+           l.bal_cents AS bal_l, r.bal_cents AS bal_r
+    FROM recs l JOIN recs r
+      ON l.nat = r.nat AND l.rec_id < r.rec_id),
+  lab AS (
+    SELECT rec_l, rec_r,
+           CAST(CASE WHEN levenshtein(name_l, name_r) <= {_LEV_MAX}
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_name,
+           CAST(CASE WHEN seg_l = seg_r THEN 1 ELSE 0 END AS BIGINT)
+             AS f_seg,
+           CAST(CASE WHEN bal_l = bal_r THEN 1 ELSE 0 END AS BIGINT)
+             AS f_bal,
+           CAST(CASE WHEN ent_l = ent_r THEN 1 ELSE 0 END AS BIGINT)
+             AS is_match
+    FROM cand)
+"""
+
+_FIELDS = ("f_name", "f_seg", "f_bal")
+
+_MU_SQL = """
+  agg AS (
+    SELECT CAST(sum(is_match) AS BIGINT) AS nm,
+           CAST(sum(1 - is_match) AS BIGINT) AS nu,
+           {sums}
+    FROM lab),
+  mu AS (
+    SELECT *, {mus}
+    FROM agg)
+""".format(
+    sums=",\n           ".join(
+        f"CAST(sum({k} * is_match) AS BIGINT) AS sa_{k},\n"
+        f"           CAST(sum({k} * (1 - is_match)) AS BIGINT) AS su_{k}"
+        for k in _FIELDS),
+    mus=",\n           ".join(
+        f"CAST(sa_{k} + 1 AS DOUBLE) / CAST(nm + 2 AS DOUBLE) AS m_{k},\n"
+        f"           CAST(su_{k} + 1 AS DOUBLE) / CAST(nu + 2 AS DOUBLE)"
+        f" AS u_{k}"
+        for k in _FIELDS))
+
+_SCORE_TERMS = "\n               + ".join(
+    f"CASE WHEN l.{k} = 1 THEN ln(m_{k} / u_{k})"
+    f" ELSE ln((1 - m_{k}) / (1 - u_{k})) END"
+    for k in _FIELDS)
+
+
+def _records(spark, sf_dir):
+    """Spark mirror of _RECS_SQL: originals + corrupted duplicates."""
+    c = _read(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("ck"), F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.col("c_nationkey").alias("nat"))
+    ck = F.col("ck")
+    orig = base.select((ck * 2).alias("rec_id"), ck.alias("ent_id"),
+                       "name", "seg", "bal_cents", "nat")
+    dup = base.filter(ck % _DUP_MOD == 0).select(
+        (ck * 2 + 1).alias("rec_id"), ck.alias("ent_id"),
+        F.when(ck % _NAME_MOD == 0, F.concat(F.lit("ZZZ"), F.col("name")))
+        .otherwise(F.concat(F.substring("name", 1, 16), F.lit("XX")))
+        .alias("name"),
+        F.when(ck % _SEG_MOD == 0, F.lit("CORRUPT")).otherwise(F.col("seg"))
+        .alias("seg"),
+        F.when(ck % _BAL_MOD == 0, F.col("bal_cents") + 100)
+        .otherwise(F.col("bal_cents")).alias("bal_cents"),
+        F.when(ck % _NAT_MOD == 0, (F.col("nat") + 1) % 25)
+        .otherwise(F.col("nat")).alias("nat"))
+    return orig.unionByName(dup)
+
+
+def _labeled_pairs(spark, sf_dir):
+    """Within-nation candidate pairs with the three binary comparison
+    fields and the by-construction entity label."""
+    recs = _records(spark, sf_dir)
+    pairs = block_pairs(recs, "nat",
+                        carry_cols=("ent_id", "name", "seg", "bal_cents"))
+    return recs, pairs.select(
+        "rec_l", "rec_r",
+        (F.levenshtein("name_l", "name_r") <= _LEV_MAX).cast("bigint")
+        .alias("f_name"),
+        (F.col("seg_l") == F.col("seg_r")).cast("bigint").alias("f_seg"),
+        (F.col("bal_cents_l") == F.col("bal_cents_r")).cast("bigint")
+        .alias("f_bal"),
+        (F.col("ent_id_l") == F.col("ent_id_r")).cast("bigint")
+        .alias("is_match"))
+
+
+@q("rl_fellegi_sunter", f"""
+  {_RECS_SQL},
+  {_LAB_SQL},
+  {_MU_SQL}
+  SELECT l.rec_l, l.rec_r, l.f_name, l.f_seg, l.f_bal, l.is_match,
+         CAST(ROUND(({_SCORE_TERMS}) * 1000000) AS BIGINT) AS fs6
+  FROM lab l CROSS JOIN mu
+""")
+def rl_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter (1969) probabilistic linkage over the blocked
+    comparison space: Laplace-smoothed m/u estimated from the labeled
+    pairs in ONE aggregation, log-likelihood weight per pair as pure
+    broadcast column arithmetic. The oracle re-derives records,
+    blocking, labels, m/u and every per-pair weight."""
+    _, lab = _labeled_pairs(spark, sf_dir)
+    w = fs_estimate_weights(lab, _FIELDS)
+    return fs_score(lab, w, _FIELDS)
+
+
+@q("rl_blocking_quality", f"""
+  {_RECS_SQL},
+  cand AS (
+    SELECT l.rec_id AS rec_l, r.rec_id AS rec_r,
+           l.ent_id AS ent_l, r.ent_id AS ent_r
+    FROM recs l JOIN recs r
+      ON l.nat = r.nat AND l.rec_id < r.rec_id),
+  n AS (SELECT CAST(count(*) AS BIGINT) AS n_recs FROM recs),
+  t AS (SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_true
+        FROM (SELECT count(*) AS c FROM recs GROUP BY ent_id)),
+  f AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(sum(CASE WHEN ent_l = ent_r THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found
+        FROM cand)
+  SELECT n_recs, n_cand, n_true, n_found,
+         CAST(ROUND((1.0 - CAST(n_cand AS DOUBLE)
+                     / CAST(n_recs * (n_recs - 1) / 2 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS rr6,
+         CAST(ROUND(CAST(n_found AS DOUBLE)
+                    / CAST(greatest(n_true, 1) AS DOUBLE) * 1000000)
+              AS BIGINT) AS pc6,
+         CAST(ROUND(CAST(n_found AS DOUBLE)
+                    / CAST(greatest(n_cand, 1) AS DOUBLE) * 1000000)
+              AS BIGINT) AS pq6
+  FROM n CROSS JOIN t CROSS JOIN f
+""")
+def rl_blocking_quality(spark, sf_dir):
+    """Christen (2012) blocking evaluation — reduction ratio, pairs
+    completeness, pairs quality — of the nation blocking key against
+    the by-construction entity labels; true-pair count from a
+    groupBy-size aggregation, never a materialized match set."""
+    recs = _records(spark, sf_dir)
+    cand = block_pairs(recs, "nat")
+    return blocking_quality(recs, cand)

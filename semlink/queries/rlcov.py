@@ -452,3 +452,49 @@ def rl_page_graph(spark, sf_dir):
                     F.col("f_is_redirect").alias("is_redirect"),
                     F.col("f_inlinks").cast("bigint").alias("f_inlinks"),
                     F.col("f_outlinks").cast("bigint").alias("f_outlinks")))
+
+
+@q("rl_filter_battery", f"""
+  WITH thr AS (SELECT * FROM ({_DICT_SQL}) WHERE prior6 >= {SCALE // 12}),
+  cands AS ({_CANDS_SQL}),
+  dup AS (SELECT mention_id, target_id, prior6 FROM cands
+          UNION ALL
+          SELECT mention_id, target_id, prior6 // 2 FROM cands),
+  uniq AS (SELECT mention_id, target_id, max(prior6) AS sense_prob
+           FROM dup GROUP BY 1, 2),
+  toks AS (SELECT DISTINCT doc_id, token FROM ({_TOK_SQL})),
+  stop AS (SELECT CAST(doc_id AS VARCHAR) || ':' || token AS mention_id,
+                  token AS ngram_norm
+           FROM toks WHERE token NOT IN ({_STOP_LIST}))
+  SELECT 'threshold' AS filt, anchor_norm || '|' || sense AS key,
+         CAST(prior6 AS BIGINT) AS val
+  FROM thr
+  UNION ALL
+  SELECT 'unique', mention_id || '|' || target_id,
+         CAST(sense_prob AS BIGINT)
+  FROM uniq
+  UNION ALL
+  SELECT 'stopword', mention_id, CAST(length(ngram_norm) AS BIGINT)
+  FROM stop
+""")
+def rl_filter_battery(spark, sf_dir):
+    """F1 + F2 + F4 in one hash-gated entry (consolidates
+    rl_threshold_filter + rl_unique_filter + rl_stopword_filter so
+    the driver's finite recording window frees two slots for the
+    linkeval family): each filter's FULL row set is preserved under a
+    (filt, key, val) shape, so the combined hash is exactly as strong
+    as the three originals'."""
+    from .rl import rl_threshold_filter
+    thr = rl_threshold_filter(spark, sf_dir).select(
+        F.lit("threshold").alias("filt"),
+        F.concat_ws("|", "anchor_norm", "sense").alias("key"),
+        F.col("prior6").cast("bigint").alias("val"))
+    u = rl_unique_filter(spark, sf_dir).select(
+        F.lit("unique").alias("filt"),
+        F.concat_ws("|", "mention_id", "target_id").alias("key"),
+        F.col("sense_prob").cast("bigint").alias("val"))
+    s = rl_stopword_filter(spark, sf_dir).select(
+        F.lit("stopword").alias("filt"),
+        F.col("mention_id").alias("key"),
+        F.length("ngram_norm").cast("bigint").alias("val"))
+    return thr.unionByName(u).unionByName(s)

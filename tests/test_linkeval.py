@@ -1,0 +1,102 @@
+"""Fellegi-Sunter weights + blocking-quality evaluation
+(semlink.linkeval): exact m/u and score values on hand fixtures, and
+the planted-corruption query properties at sf0.001."""
+import math
+
+from pyspark.sql import functions as F
+
+from semlink.linkeval import (block_pairs, blocking_quality,
+                              fs_estimate_weights, fs_score)
+
+
+def _pairs_fixture(spark):
+    # 2 matches, 3 non-matches; one field ('fa') perfectly
+    # discriminating, one ('fb') useless (always 1).
+    rows = [
+        (1, 2, 1, 1, 1),
+        (3, 4, 1, 1, 1),
+        (1, 3, 0, 1, 0),
+        (1, 4, 0, 1, 0),
+        (2, 4, 0, 1, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "rec_l long, rec_r long, fa long, fb long, is_match long")
+
+
+def test_fs_weights_laplace_exact(spark):
+    """m/u are the Laplace-smoothed conditional agreement rates —
+    exact rationals checked field by field, including the degenerate
+    always-agree field staying strictly inside (0, 1)."""
+    w = fs_estimate_weights(_pairs_fixture(spark), ["fa", "fb"]) \
+        .collect()[0]
+    assert (w.nm, w.nu) == (2, 3)
+    assert w.m_fa == (2 + 1) / (2 + 2)      # 0.75
+    assert w.u_fa == (0 + 1) / (3 + 2)      # 0.2
+    assert w.m_fb == (2 + 1) / (2 + 2)
+    assert w.u_fb == (3 + 1) / (3 + 2)      # 0.8 — useless field
+    assert 0.0 < w.u_fa < w.m_fa < 1.0
+
+
+def test_fs_score_matches_hand_computation(spark):
+    """fs6 equals the hand-computed log-likelihood sum for both an
+    all-agree and an all-disagree pair (same Laplace m/u)."""
+    lab = _pairs_fixture(spark)
+    w = fs_estimate_weights(lab, ["fa", "fb"])
+    got = {(r.rec_l, r.rec_r): r.fs6
+           for r in fs_score(lab, w, ["fa", "fb"]).collect()}
+    m_fa, u_fa, m_fb, u_fb = 0.75, 0.2, 0.75, 0.8
+    agree = math.log(m_fa / u_fa) + math.log(m_fb / u_fb)
+    dis = math.log((1 - m_fa) / (1 - u_fa)) + math.log(m_fb / u_fb)
+    assert got[(1, 2)] == round(agree * 1e6)
+    assert got[(1, 3)] == round(dis * 1e6)
+    assert got[(1, 2)] > 0 > got[(1, 3)]
+
+
+def test_blocking_quality_hand_values(spark):
+    """4 records, 2 entities, one split across blocks: C(4,2)=6 total
+    pairs, blocks {a: r1 r2 r3} {b: r4}, true pairs (r1,r2) found and
+    (r3,r4) missed -> rr = 1 - 3/6, pc = 1/2, pq = 1/3."""
+    recs = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "a"), (3, 20, "a"), (4, 20, "b")],
+        "rec_id long, ent_id long, blk string")
+    m = blocking_quality(recs, block_pairs(recs, "blk")).collect()[0]
+    assert (m.n_recs, m.n_cand, m.n_true, m.n_found) == (4, 3, 2, 1)
+    assert m.rr6 == 500_000
+    assert m.pc6 == 500_000
+    assert m.pq6 == round(1 / 3 * 1e6)
+
+
+def test_fs_query_separates_planted_duplicates(spark):
+    """On the planted-corruption record benchmark, every-field-agree
+    implies a higher score than every-field-disagree (weight
+    monotonicity), and the mean match score clears the mean non-match
+    score by a wide margin."""
+    from semlink.queries.linkeval import rl_fellegi_sunter
+    df = rl_fellegi_sunter(spark, "/root/testdata/sf0.001").cache()
+    agg = (df.groupBy("is_match")
+           .agg(F.avg("fs6").alias("mean6"), F.count("*").alias("n"))
+           .collect())
+    by = {r.is_match: r for r in agg}
+    assert by[1].n > 0 and by[0].n > by[1].n
+    assert by[1].mean6 > by[0].mean6 + 5_000_000
+    full_agree = df.filter((F.col("f_name") == 1) & (F.col("f_seg") == 1)
+                           & (F.col("f_bal") == 1))
+    full_dis = df.filter((F.col("f_name") == 0) & (F.col("f_seg") == 0)
+                         & (F.col("f_bal") == 0))
+    lo = full_agree.agg(F.min("fs6")).collect()[0][0]
+    hi = full_dis.agg(F.max("fs6")).collect()[0][0]
+    assert lo is not None and hi is not None and lo > hi
+    df.unpersist()
+
+
+def test_blocking_quality_query_nontrivial(spark):
+    """The nation-blocking evaluation lands strictly inside (0, 1) on
+    all three metrics: corruption on the blocking key loses some true
+    pairs (pc < 1) while blocking still prunes most of the comparison
+    space (rr near 1, pq small but nonzero)."""
+    from semlink.queries.linkeval import rl_blocking_quality
+    m = rl_blocking_quality(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 < m.pc6 < 1_000_000
+    assert 900_000 < m.rr6 < 1_000_000
+    assert 0 < m.pq6 < 1_000_000
+    assert m.n_found < m.n_true < m.n_cand
