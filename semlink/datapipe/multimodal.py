@@ -27,7 +27,9 @@ by byte-size budget, not row count, before heavy decodes.
 
 from __future__ import annotations
 
+import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
                                StructField, StructType)
+
+from .jpegenc import ZIGZAG, idct2d
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", StringType(), False),
@@ -146,11 +150,6 @@ def decode_png_pixels(payload: bytes) -> dict:
     values for non-PNG / truncated / non-8-bit payloads (never raises
     on garbage).
     """
-    import hashlib
-    import zlib
-
-    import numpy as np
-
     none = {"n_px": None, "mean": None, "px_digest": None}
     p = payload or b""
     if p[:8] != b"\x89PNG\r\n\x1a\n":
@@ -310,10 +309,6 @@ def decode_gif_pixels(payload: bytes) -> dict:
     for non-GIF / interlaced / malformed payloads (never raises).
     Pinned by tests/test_datapipe.py against a reference LZW encoder.
     """
-    import hashlib
-
-    import numpy as np
-
     none = {"n_px": None, "mean": None, "px_digest": None}
     p = payload or b""
     if p[:6] not in (b"GIF87a", b"GIF89a"):
@@ -474,12 +469,6 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     px_digest = md5(hex(interleaved row-major samples)) — an exact
     witness of every reconstructed byte.
     """
-    import hashlib
-
-    import numpy as np
-
-    from .jpegenc import ZIGZAG, idct2d
-
     none = {"n_px": None, "mean": None, "px_digest": None}
     p = payload or b""
     if p[:2] != b"\xff\xd8":
@@ -632,10 +621,6 @@ def decode_wav_samples(payload: bytes) -> dict:
     {n_samples, mean, digest} with digest = md5(hex(raw PCM bytes)) —
     an exact witness of every decoded byte. Null stats for non-WAV /
     compressed / truncated payloads (never raises)."""
-    import hashlib
-
-    import numpy as np
-
     none = {"n_samples": None, "mean": None, "digest": None}
     p = payload or b""
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
@@ -833,7 +818,6 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     """Arrow-batched structural decode over binary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
         for pdf in batches:
             feats = [decode_media_header(p) for p in pdf["payload"]]
             fd = pd.DataFrame(feats)
@@ -908,10 +892,6 @@ def synthesize_jpeg_fixtures(n: int = 60) -> list:
 
     Returns [(media_id, payload, width, height, channels), ...].
     """
-    import hashlib
-
-    import numpy as np
-
     from .jpegenc import encode_baseline_jpeg
 
     out = []

@@ -75,15 +75,18 @@ def blocking_quality(recs: DataFrame, cand: DataFrame,
                 .agg(F.count(F.lit(1)).alias("c"))
                 .select(F.sum(F.col("c") * (F.col("c") - 1) / 2)
                         .cast("bigint").alias("n_true")))
+    # LEFT joins so a candidate pair referencing a record absent from
+    # recs still counts toward n_cand (its null entity label simply
+    # never matches) — n_cand is |cand| exactly, per the rr definition.
     labeled = (cand
                .join(ids.select(F.col(rec_id_col).alias("rec_l"),
-                                F.col(ent_col).alias("_el")), "rec_l")
+                                F.col(ent_col).alias("_el")), "rec_l", "left")
                .join(ids.select(F.col(rec_id_col).alias("rec_r"),
-                                F.col(ent_col).alias("_er")), "rec_r"))
+                                F.col(ent_col).alias("_er")), "rec_r", "left"))
     found = labeled.select(
         F.count(F.lit(1)).alias("n_cand"),
-        F.sum((F.col("_el") == F.col("_er")).cast("bigint"))
-        .cast("bigint").alias("n_found"))
+        F.coalesce(F.sum((F.col("_el") == F.col("_er")).cast("bigint")),
+                   F.lit(0)).cast("bigint").alias("n_found"))
     row = (n_recs.crossJoin(true_cnt).crossJoin(found))
     total_pairs = (F.col("n_recs") * (F.col("n_recs") - 1) / 2)
     r6 = lambda c: F.round(c * 1_000_000).cast("bigint")  # noqa: E731

@@ -455,25 +455,20 @@ def text_token_quality(spark, sf_dir):
 
 
 @q("text_corpus_filter", f"""
-  SELECT h.doc_id,
-         h.pass_all AS pass_heuristics,
-         CAST(r.dup_line_frac6 <= {ts.DUP_LINE_FRAC_MAX6}
-              AND r.dup_para_frac6 <= {ts.DUP_PARA_FRAC_MAX6}
-              AND r.dup_line_char_frac6 <= {ts.DUP_LINE_CHAR_FRAC_MAX6}
-              AND r.dup_para_char_frac6 <= {ts.DUP_PARA_CHAR_FRAC_MAX6}
-              AND r.top2gram_frac6 <= {ts.TOP2GRAM_FRAC_MAX6}
-              AND r.top3gram_frac6 <= {ts.TOP3GRAM_FRAC_MAX6}
-              AND r.top4gram_frac6 <= {ts.TOP4GRAM_FRAC_MAX6} AS BIGINT)
-           AS pass_repetition,
-         h.pass_all * CAST(r.dup_line_frac6 <= {ts.DUP_LINE_FRAC_MAX6}
-              AND r.dup_para_frac6 <= {ts.DUP_PARA_FRAC_MAX6}
-              AND r.dup_line_char_frac6 <= {ts.DUP_LINE_CHAR_FRAC_MAX6}
-              AND r.dup_para_char_frac6 <= {ts.DUP_PARA_CHAR_FRAC_MAX6}
-              AND r.top2gram_frac6 <= {ts.TOP2GRAM_FRAC_MAX6}
-              AND r.top3gram_frac6 <= {ts.TOP3GRAM_FRAC_MAX6}
-              AND r.top4gram_frac6 <= {ts.TOP4GRAM_FRAC_MAX6} AS BIGINT)
-           AS keep
-  FROM ({_HEURISTIC_SQL}) h JOIN ({_REPETITION_SQL}) r USING (doc_id)
+  SELECT doc_id, pass_heuristics, pass_repetition,
+         pass_heuristics * pass_repetition AS keep
+  FROM (
+    SELECT h.doc_id,
+           h.pass_all AS pass_heuristics,
+           CAST(r.dup_line_frac6 <= {ts.DUP_LINE_FRAC_MAX6}
+                AND r.dup_para_frac6 <= {ts.DUP_PARA_FRAC_MAX6}
+                AND r.dup_line_char_frac6 <= {ts.DUP_LINE_CHAR_FRAC_MAX6}
+                AND r.dup_para_char_frac6 <= {ts.DUP_PARA_CHAR_FRAC_MAX6}
+                AND r.top2gram_frac6 <= {ts.TOP2GRAM_FRAC_MAX6}
+                AND r.top3gram_frac6 <= {ts.TOP3GRAM_FRAC_MAX6}
+                AND r.top4gram_frac6 <= {ts.TOP4GRAM_FRAC_MAX6} AS BIGINT)
+             AS pass_repetition
+    FROM ({_HEURISTIC_SQL}) h JOIN ({_REPETITION_SQL}) r USING (doc_id))
 """)
 def text_corpus_filter(spark, sf_dir):
     """The composed curation verdict (heuristic battery × Gopher
