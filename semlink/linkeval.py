@@ -157,3 +157,113 @@ def fs_score(pairs: DataFrame, weights: DataFrame,
         out_col,
         F.round(_fs_score_expr(fields) * 1_000_000).cast("bigint")) \
         .select(*pairs.columns, out_col)
+
+
+# --------------------------------------------------------------- EM (1988)
+# Unsupervised m/u estimation (Winkler '88 / Dempster-Laird-Rubin EM on
+# the Fellegi-Sunter two-class conditional-independence mixture). The
+# sufficient statistic for binary comparison vectors is the 2^K pattern
+# histogram, so estimation is ONE map-side-combined groupBy over the
+# (possibly trillion-row) pair table followed by a fixed-budget scalar
+# EM on <= 2^K counts — the collect is 2^K rows, bounded like the stump
+# grid. The scalar loop below is written with an EXPLICIT, fixed
+# pattern-order operation sequence (left-associated products and sums,
+# no numpy reductions) so the DuckDB oracle's unrolled CTE chain —
+# generated from the same pattern list — reproduces it bit-for-bit:
+# every op is IEEE-754 double *, /, +, -, exactly specified in both
+# engines.
+
+EM_ITERS = 12                  # fixed iteration budget, shared w/ oracle
+EM_INIT = (0.1, 0.8, 0.2)      # p0, m0_k, u0_k
+EM_EPS = 1e-06                 # Winkler parameter clamp [eps, 1-eps]:
+#                                keeps every m/u/p strictly interior so
+#                                perfectly-separable histograms can't
+#                                drive a later E-step into 0/0. min/max
+#                                are exact on doubles, so the clamp is
+#                                a bitwise no-op whenever it doesn't
+#                                fire — mirrored as LEAST/GREATEST in
+#                                the oracle CTEs.
+
+
+def em_patterns(n_fields: int) -> list[tuple[int, ...]]:
+    """All binary agreement patterns in the canonical order (first
+    field = most significant bit) that both the Python loop and the
+    generated oracle SQL iterate in."""
+    pats = [()]
+    for _ in range(n_fields):
+        pats = [p + (b,) for p in pats for b in (0, 1)]
+    return pats
+
+
+def fs_em_fit(counts: dict[tuple[int, ...], int], n_fields: int,
+              iters: int = EM_ITERS,
+              init: tuple[float, float, float] = EM_INIT):
+    """Fixed-budget EM on the pattern histogram. Returns (p, m, u)
+    with m/u lists per field. Deterministic: pure Python IEEE doubles,
+    fixed pattern-order arithmetic (see module comment). Degenerate
+    inputs (all counts zero) are the caller's responsibility."""
+    pats = em_patterns(n_fields)
+    c = [float(counts.get(pt, 0)) for pt in pats]
+    p, m, u = init[0], [init[1]] * n_fields, [init[2]] * n_fields
+    for _ in range(iters):
+        g = []
+        for pt in pats:
+            num = p
+            for k in range(n_fields):
+                num = num * (m[k] if pt[k] else 1.0 - m[k])
+            alt = 1.0 - p
+            for k in range(n_fields):
+                alt = alt * (u[k] if pt[k] else 1.0 - u[k])
+            g.append(num / (num + alt))
+        tot = 0.0
+        for i in range(len(pats)):
+            tot = tot + c[i] * g[i]
+        totc = 0.0
+        for i in range(len(pats)):
+            totc = totc + c[i]
+        tot1 = 0.0
+        for i in range(len(pats)):
+            tot1 = tot1 + c[i] * (1.0 - g[i])
+        new_m, new_u = [], []
+        for k in range(n_fields):
+            sm = 0.0
+            for i, pt in enumerate(pats):
+                if pt[k]:
+                    sm = sm + c[i] * g[i]
+            su = 0.0
+            for i, pt in enumerate(pats):
+                if pt[k]:
+                    su = su + c[i] * (1.0 - g[i])
+            new_m.append(min(max(sm / tot, EM_EPS), 1.0 - EM_EPS))
+            new_u.append(min(max(su / tot1, EM_EPS), 1.0 - EM_EPS))
+        p = min(max(tot / totc, EM_EPS), 1.0 - EM_EPS)
+        m, u = new_m, new_u
+    return p, m, u
+
+
+def fs_em_weights(pairs: DataFrame, fields: Sequence[str],
+                  iters: int = EM_ITERS):
+    """Distribute the E-step's sufficient statistic (pattern
+    histogram: one groupBy, <= 2^K result rows) and run the scalar EM
+    on the driver. No labels consumed."""
+    rows = (pairs.groupBy(*[F.col(f) for f in fields])
+            .agg(F.count(F.lit(1)).alias("c")).collect())
+    counts = {tuple(int(r[f]) for f in fields): r["c"] for r in rows}
+    return fs_em_fit(counts, len(fields), iters)
+
+
+def fs_em_posterior_expr(fields: Sequence[str], p: float,
+                         m: Sequence[float], u: Sequence[float]) -> Column:
+    """Per-pair posterior match probability under the fitted mixture:
+    g = p·Π a_k / (p·Π a_k + (1-p)·Π b_k), a_k = m_k or 1-m_k by
+    agreement — pure JVM column arithmetic over literal parameters,
+    shaped identically to the oracle's final SELECT."""
+    num: Column = F.lit(p)
+    for k, f in enumerate(fields):
+        num = num * F.when(F.col(f) == 1, F.lit(m[k])) \
+            .otherwise(F.lit(1.0) - F.lit(m[k]))
+    alt: Column = F.lit(1.0) - F.lit(p)
+    for k, f in enumerate(fields):
+        alt = alt * F.when(F.col(f) == 1, F.lit(u[k])) \
+            .otherwise(F.lit(1.0) - F.lit(u[k]))
+    return num / (num + alt)

@@ -17,8 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..linkeval import (block_pairs, blocking_quality, fs_estimate_weights,
-                        fs_score)
+from ..linkeval import (EM_EPS, EM_INIT, EM_ITERS, block_pairs,
+                        blocking_quality, em_patterns, fs_em_posterior_expr,
+                        fs_em_weights, fs_estimate_weights, fs_score)
 from . import _read, q
 
 # Corruption moduli — shared verbatim with the oracle SQL below.
@@ -141,23 +142,113 @@ def _labeled_pairs(spark, sf_dir):
         .alias("is_match"))
 
 
+def _em_cte_sql(fields, iters, init):
+    """Generate the unrolled-EM CTE chain (pv, e0 .. e{iters}) whose
+    arithmetic mirrors linkeval.fs_em_fit operation for operation:
+    left-associated products and sums in the canonical pattern order,
+    so the final (p, m_k, u_k) are bit-identical IEEE doubles in both
+    engines (only *, /, +, - — no transcendentals)."""
+    pats = em_patterns(len(fields))
+    bits = ["".join(str(b) for b in pt) for pt in pats]
+    K = len(fields)
+    p0, m0, u0 = init
+
+    pv_cols = ",\n         ".join(
+        "CAST(sum(CASE WHEN "
+        + " AND ".join(f"{f} = {pt[k]}" for k, f in enumerate(fields))
+        + f" THEN 1 ELSE 0 END) AS DOUBLE) AS c_{b}"
+        for pt, b in zip(pats, bits))
+
+    e0_cols = ", ".join(
+        [f"CAST({p0} AS DOUBLE) AS p"]
+        + [f"CAST({m0} AS DOUBLE) AS m{k + 1}" for k in range(K)]
+        + [f"CAST({u0} AS DOUBLE) AS u{k + 1}" for k in range(K)])
+
+    ctes = [f"pv AS (SELECT {pv_cols}\n  FROM lab)",
+            f"e0 AS (SELECT {e0_cols})"]
+    for i in range(1, iters + 1):
+        na = ",\n             ".join(
+            "p * " + " * ".join(
+                (f"m{k + 1}" if pt[k] else f"(1 - m{k + 1})")
+                for k in range(K)) + f" AS n_{b},\n             "
+            + "(1 - p) * " + " * ".join(
+                (f"u{k + 1}" if pt[k] else f"(1 - u{k + 1})")
+                for k in range(K)) + f" AS a_{b}"
+            for pt, b in zip(pats, bits))
+        gs = ", ".join(f"n_{b} / (n_{b} + a_{b}) AS g_{b}" for b in bits)
+        cs = ", ".join(f"c_{b}" for b in bits)
+        tot = " + ".join(f"c_{b} * g_{b}" for b in bits)
+        totc = " + ".join(f"c_{b}" for b in bits)
+        tot1 = " + ".join(f"c_{b} * (1 - g_{b})" for b in bits)
+        sums = [f"{tot} AS tot", f"{totc} AS totc", f"{tot1} AS tot1"]
+        for k in range(K):
+            on = [b for pt, b in zip(pats, bits) if pt[k]]
+            sums.append(" + ".join(f"c_{b} * g_{b}" for b in on)
+                        + f" AS sm{k + 1}")
+            sums.append(" + ".join(f"c_{b} * (1 - g_{b})" for b in on)
+                        + f" AS su{k + 1}")
+        def clamp(x):
+            return f"LEAST(GREATEST({x}, {EM_EPS}), 1 - {EM_EPS})"
+        params = [f"{clamp('tot / totc')} AS p"]
+        params += [f"{clamp(f'sm{k + 1} / tot')} AS m{k + 1}"
+                   for k in range(K)]
+        params += [f"{clamp(f'su{k + 1} / tot1')} AS u{k + 1}"
+                   for k in range(K)]
+        sums_sql = ",\n               ".join(sums)
+        mu_cols = ", ".join([f"m{k + 1}" for k in range(K)]
+                            + [f"u{k + 1}" for k in range(K)])
+        ctes.append(
+            f"e{i} AS (\n"
+            f"    SELECT {', '.join(params)}\n"
+            f"    FROM (SELECT {sums_sql}\n"
+            f"          FROM (SELECT {cs}, {gs}\n"
+            f"                FROM (SELECT pv.*, p, {mu_cols},\n"
+            f"             {na}\n"
+            f"                      FROM pv CROSS JOIN e{i - 1}))))")
+    return ",\n  ".join(ctes)
+
+
+def _em_posterior_sql(fields):
+    """Final per-pair posterior under the e{iters} parameters — the
+    same CASE-product shape as linkeval.fs_em_posterior_expr."""
+    K = len(fields)
+    num = "p * " + " * ".join(
+        f"(CASE WHEN l.{f} = 1 THEN m{k + 1} ELSE 1 - m{k + 1} END)"
+        for k, f in enumerate(fields))
+    alt = "(1 - p) * " + " * ".join(
+        f"(CASE WHEN l.{f} = 1 THEN u{k + 1} ELSE 1 - u{k + 1} END)"
+        for k, f in enumerate(fields))
+    return (f"CAST(ROUND((({num}) / (({num}) + ({alt}))) * 1000000)"
+            " AS BIGINT)")
+
+
 @q("rl_fellegi_sunter", f"""
   {_RECS_SQL},
   {_LAB_SQL},
-  {_MU_SQL}
+  {_MU_SQL},
+  {_em_cte_sql(_FIELDS, EM_ITERS, EM_INIT)}
   SELECT l.rec_l, l.rec_r, l.f_name, l.f_seg, l.f_bal, l.is_match,
-         CAST(ROUND(({_SCORE_TERMS}) * 1000000) AS BIGINT) AS fs6
-  FROM lab l CROSS JOIN mu
+         CAST(ROUND(({_SCORE_TERMS}) * 1000000) AS BIGINT) AS fs6,
+         {_em_posterior_sql(_FIELDS)} AS g6
+  FROM lab l CROSS JOIN mu CROSS JOIN e{EM_ITERS}
 """)
 def rl_fellegi_sunter(spark, sf_dir):
     """Fellegi-Sunter (1969) probabilistic linkage over the blocked
-    comparison space: Laplace-smoothed m/u estimated from the labeled
-    pairs in ONE aggregation, log-likelihood weight per pair as pure
-    broadcast column arithmetic. The oracle re-derives records,
-    blocking, labels, m/u and every per-pair weight."""
+    comparison space, both estimation regimes in one hash-gated entry:
+    supervised Laplace-smoothed m/u from the labeled pairs (ONE
+    aggregation -> fs6 log-likelihood weight) AND unsupervised EM
+    (Winkler '88) on the 2^K pattern histogram (ONE groupBy -> fixed
+    12-iteration scalar EM -> g6 posterior). The oracle re-derives
+    records, blocking, labels, supervised m/u, every per-pair weight,
+    and the full EM trajectory as an unrolled CTE chain mirroring
+    fs_em_fit's IEEE operation order."""
     _, lab = _labeled_pairs(spark, sf_dir)
     w = fs_estimate_weights(lab, _FIELDS)
-    return fs_score(lab, w, _FIELDS)
+    scored = fs_score(lab, w, _FIELDS)
+    p, m, u = fs_em_weights(lab.drop("is_match"), _FIELDS)
+    return scored.withColumn(
+        "g6", F.round(fs_em_posterior_expr(_FIELDS, p, m, u) * 1_000_000)
+        .cast("bigint"))
 
 
 @q("rl_blocking_quality", f"""

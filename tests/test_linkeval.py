@@ -5,8 +5,8 @@ import math
 
 from pyspark.sql import functions as F
 
-from semlink.linkeval import (block_pairs, blocking_quality,
-                              fs_estimate_weights, fs_score)
+from semlink.linkeval import (block_pairs, blocking_quality, fs_em_fit,
+                              fs_em_weights, fs_estimate_weights, fs_score)
 
 
 def _pairs_fixture(spark):
@@ -64,6 +64,70 @@ def test_blocking_quality_hand_values(spark):
     assert m.rr6 == 500_000
     assert m.pc6 == 500_000
     assert m.pq6 == round(1 / 3 * 1e6)
+
+
+def _mixture_counts(p, m, u, n):
+    """Exact expected pattern histogram of a K-field conditional-
+    independence mixture, scaled to n pairs (rounded). EM on exact
+    expected counts must recover the generating parameters."""
+    from semlink.linkeval import em_patterns
+    counts = {}
+    for pt in em_patterns(len(m)):
+        pm = p
+        pu = 1.0 - p
+        for k in range(len(m)):
+            pm *= m[k] if pt[k] else 1.0 - m[k]
+            pu *= u[k] if pt[k] else 1.0 - u[k]
+        counts[pt] = round((pm + pu) * n)
+    return counts
+
+
+def test_em_recovers_generating_mixture():
+    """fs_em_fit on the exact expected histogram of a well-separated
+    THREE-field mixture converges back to the generating (p, m, u)
+    within EM tolerance — K=3 is the minimum identifiable case
+    (2^K - 1 >= 2K + 1), the standard Winkler-'88 sanity check."""
+    p0 = 0.2
+    m0, u0 = [0.95, 0.9, 0.85], [0.05, 0.1, 0.15]
+    p, m, u = fs_em_fit(_mixture_counts(p0, m0, u0, 1_000_000), 3,
+                        iters=200)
+    assert abs(p - p0) < 0.01
+    for k in range(3):
+        assert abs(m[k] - m0[k]) < 0.02
+        assert abs(u[k] - u0[k]) < 0.02
+
+
+def test_em_deterministic_and_distributed_histogram_agrees(spark):
+    """fs_em_weights (distributed pattern groupBy -> scalar EM) equals
+    fs_em_fit on the hand-built histogram of the same pairs, bitwise —
+    and two runs are bit-identical (pure fixed-order IEEE doubles)."""
+    lab = _pairs_fixture(spark).drop("is_match")
+    got = fs_em_weights(lab, ["fa", "fb"])
+    counts = {(1, 1): 2, (0, 1): 3}
+    want = fs_em_fit(counts, 2)
+    assert got == want
+    assert fs_em_fit(counts, 2) == want
+
+
+def test_em_posterior_separates_planted_duplicates(spark):
+    """Unsupervised g6 posterior on the planted-corruption benchmark:
+    all-agree pairs sit near 1, all-disagree pairs near 0, and the
+    label-free posterior orders matches above non-matches on average
+    — EM never saw is_match."""
+    from semlink.queries.linkeval import rl_fellegi_sunter
+    df = rl_fellegi_sunter(spark, "/root/testdata/sf0.001").cache()
+    agree_min = (df.filter((F.col("f_name") == 1) & (F.col("f_seg") == 1)
+                           & (F.col("f_bal") == 1))
+                 .agg(F.min("g6")).collect()[0][0])
+    dis_max = (df.filter((F.col("f_name") == 0) & (F.col("f_seg") == 0)
+                         & (F.col("f_bal") == 0))
+               .agg(F.max("g6")).collect()[0][0])
+    assert agree_min is not None and agree_min > 900_000
+    assert dis_max is not None and dis_max < 100_000
+    by = {r.is_match: r.mean6 for r in
+          df.groupBy("is_match").agg(F.avg("g6").alias("mean6")).collect()}
+    assert by[1] > by[0] + 500_000
+    df.unpersist()
 
 
 def test_fs_query_separates_planted_duplicates(spark):
