@@ -49,6 +49,7 @@ HEADLINE = [
     "text_repetition", "text_heuristic_filters", "text_pii_stats",
     "text_corpus_filter", "ann_embed_text", "media_jpeg",
     "rl_fellegi_sunter", "rl_blocking_quality",
+    "rl_cluster_metrics", "rl_golden_record",
     "agg_pricing_summary",
 ]
 
@@ -62,7 +63,8 @@ HEADLINE = [
 NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "text_pii_stats", "text_corpus_filter",
                "ann_embed_text", "media_jpeg",
-               "rl_fellegi_sunter", "rl_blocking_quality"]
+               "rl_fellegi_sunter", "rl_blocking_quality",
+               "rl_cluster_metrics", "rl_golden_record"]
 
 
 def ensure_bench_fixture(spark) -> str:

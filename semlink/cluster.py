@@ -273,3 +273,129 @@ def pairwise_f1(assignments: DataFrame, labeled_pairs: DataFrame) -> dict:
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     return {"tp": tp, "fp": fp, "fn": fn, "n": agg.n,
             "precision": p, "recall": r, "f1": f1}
+
+
+def clustering_agreement(assign: DataFrame, pred_col: str = "cluster_id",
+                         truth_col: str = "ent_id") -> DataFrame:
+    """Pair-counting agreement between a predicted clustering and the
+    truth classes: Hubert-Arabie Adjusted Rand Index plus pairwise
+    precision / recall / F1 (Christen 2012 ch. 7), one output row.
+
+    Every cross-row aggregation is an exact BIGINT sum over the
+    contingency cells — co-membership pair counts C(c, 2) computed
+    with integer division — so the sufficient statistics (p_pairs =
+    pairs same cluster AND same class, a_pairs = pairs same cluster,
+    b_pairs = pairs same class, tot_pairs = C(n, 2)) are
+    bit-deterministic regardless of partitioning or visit order.
+    Doubles appear only in the final fixed-shape scalar expressions
+    over those four integers, so the rounded metrics are reproducible
+    bit-for-bit by any engine evaluating the same IEEE expression
+    (the DuckDB oracle does exactly that). The match-pair SET is never
+    materialized: cells come from one groupBy, cluster / class sizes
+    from two more aggregations over the (far smaller) cell table."""
+    c2 = "(c * (c - 1)) div 2"
+    cells = (assign.groupBy(F.col(pred_col).alias("_p"),
+                            F.col(truth_col).alias("_t"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    p_pairs = cells.agg(
+        F.sum(F.expr(c2)).cast("bigint").alias("p_pairs"))
+    a_pairs = (cells.groupBy("_p").agg(F.sum("c").alias("c"))
+               .agg(F.sum(F.expr(c2)).cast("bigint").alias("a_pairs")))
+    b_pairs = (cells.groupBy("_t").agg(F.sum("c").alias("c"))
+               .agg(F.sum(F.expr(c2)).cast("bigint").alias("b_pairs")))
+    n = assign.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    row = (n.crossJoin(p_pairs).crossJoin(a_pairs).crossJoin(b_pairs)
+           .withColumn("tot_pairs", F.expr(
+               "(n_items * (n_items - 1)) div 2").cast("bigint")))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    row = row.withColumn(
+        "_exp", d("a_pairs") * d("b_pairs")
+        / F.greatest(F.col("tot_pairs"), F.lit(1)).cast("double"))
+    r6 = lambda c: F.round(c * 1_000_000).cast("bigint")  # noqa: E731
+    ari_den = (d("a_pairs") + d("b_pairs")) / F.lit(2.0) - F.col("_exp")
+    ppd = d("p_pairs") / F.greatest(F.col("a_pairs"), F.lit(1)).cast("double")
+    prd = d("p_pairs") / F.greatest(F.col("b_pairs"), F.lit(1)).cast("double")
+    return row.select(
+        "n_items", "p_pairs", "a_pairs", "b_pairs", "tot_pairs",
+        r6(F.when(ari_den == 0.0, F.lit(1.0))
+           .otherwise((d("p_pairs") - F.col("_exp")) / ari_den))
+        .alias("ari6"),
+        r6(ppd).alias("pp6"),
+        r6(prd).alias("pr6"),
+        r6(F.when(F.col("p_pairs") == 0, F.lit(0.0))
+           .otherwise(F.lit(2.0) * ppd * prd / (ppd + prd)))
+        .alias("pf16"))
+
+
+def bcubed(assign: DataFrame, pred_col: str = "cluster_id",
+           truth_col: str = "ent_id") -> DataFrame:
+    """B-cubed precision / recall / F1 (Bagga & Baldwin 1998): the
+    per-record average of |cell| / |cluster| (precision) and
+    |cell| / |class| (recall), computed as one pass over the
+    contingency cells — sum of c^2 / size weighted 1/N. The per-cell
+    terms are doubles, so the cross-cell SUM inherits float addition
+    order; use for evaluation and tests (exact on dyadic fixtures),
+    not for hash-gated oracles — clustering_agreement carries the
+    integer-exact pair-counting equivalents for that."""
+    cells = (assign.groupBy(F.col(pred_col).alias("_p"),
+                            F.col(truth_col).alias("_t"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    a = cells.groupBy("_p").agg(F.sum("c").alias("a"))
+    b = cells.groupBy("_t").agg(F.sum("c").alias("b"))
+    j = cells.join(a, "_p").join(b, "_t")
+    n = assign.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    sums = j.agg(
+        F.sum(F.col("c").cast("double") * F.col("c").cast("double")
+              / F.col("a").cast("double")).alias("_sp"),
+        F.sum(F.col("c").cast("double") * F.col("c").cast("double")
+              / F.col("b").cast("double")).alias("_sr"))
+    row = n.crossJoin(sums)
+    r6 = lambda c: F.round(c * 1_000_000).cast("bigint")  # noqa: E731
+    nd = F.greatest(F.col("n_items"), F.lit(1)).cast("double")
+    bp = F.col("_sp") / nd
+    br = F.col("_sr") / nd
+    return row.select(
+        "n_items", r6(bp).alias("b3p6"), r6(br).alias("b3r6"),
+        r6(F.when((F.col("_sp") == 0.0) & (F.col("_sr") == 0.0), F.lit(0.0))
+           .otherwise(F.lit(2.0) * bp * br / (bp + br))).alias("b3f16"))
+
+
+def golden_records(recs: DataFrame, cluster_col: str,
+                   shortest_cols: tuple = (), mode_cols: tuple = (),
+                   max_cols: tuple = (),
+                   rec_id_col: str = "rec_id") -> DataFrame:
+    """Survivorship / golden-record construction — the merge stage
+    that turns each resolved cluster into ONE canonical record
+    (Bleiholder & Naumann, "Data Fusion", ACM CS 2008). Field rules:
+
+    - ``shortest_cols``: shortest-then-lexicographic value (typo /
+      prefix corruption lengthens strings, so the clean variant wins);
+    - ``mode_cols``: most frequent value, ties broken by value order;
+    - ``max_cols``: numeric max (e.g. the most recent balance);
+    - plus ``n_members``, the cluster size.
+
+    Every rule is a groupBy aggregate or a per-cluster window rank-1
+    with a TOTAL order (value, then rec_id), so the merged record is
+    bit-deterministic under any partitioning. All joins and windows
+    key on the cluster id — the same shuffle key throughout, no
+    SinglePartition exchange, no driver materialization."""
+    base = recs.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        *[F.max(c).alias(c) for c in max_cols])
+    out = base
+    for c in shortest_cols:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.length(c), F.col(c), F.col(rec_id_col))
+        pick = (recs.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1).select(cluster_col, c))
+        out = out.join(pick, cluster_col)
+    for c in mode_cols:
+        cnt = recs.groupBy(cluster_col, c).agg(
+            F.count(F.lit(1)).alias("_c"))
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col("_c").desc(), F.col(c))
+        pick = (cnt.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1).select(cluster_col, c))
+        out = out.join(pick, cluster_col)
+    return out.select(cluster_col, *shortest_cols, *mode_cols,
+                      *max_cols, "n_members")

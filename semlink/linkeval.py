@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,6 +53,62 @@ def block_pairs(recs: DataFrame, block_col: str, rec_id_col: str = "rec_id",
     return (side("l").join(side("r"), "_bk")
             .filter(F.col("rec_l") < F.col("rec_r"))
             .drop("_bk"))
+
+
+def sorted_neighborhood_pairs(recs: DataFrame, sort_col: str, window: int,
+                              rec_id_col: str = "rec_id",
+                              carry_cols: Sequence[str] = ()) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo,
+    SIGMOD 1995): rank all records by (sort key, rec_id) and emit every
+    pair whose ranks differ by less than ``window`` — rec_l is always
+    the lower-RANK record, so each pair appears exactly once.
+
+    Scale shape: the global rank uses the same two-phase pattern as
+    cluster._dense_rank_ids (range-repartition → local row_number +
+    driver prefix-sum of per-partition counts, broadcast back) — no
+    SinglePartition exchange; the rank result is invariant to where
+    the range cuts land. The rank-adjacency predicate is then a BANDED
+    EQUI JOIN: block = (rn-1) div window, the right side replicated to
+    its own and its predecessor block, so each row meets at most
+    2·window candidates before the rank filter — never a post-join
+    filter over an unbounded comparison space (the repo band rule)."""
+    spark = recs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ranked = (recs.repartitionByRange(n_parts, sort_col, rec_id_col)
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    counts = {r["_pid"]: r["c"] for r in
+              ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                           for x in (pid, offsets[pid])]),
+            F.col("_pid")).cast("long")
+    else:
+        off = F.lit(0).cast("long")
+    w_local = Window.partitionBy("_pid").orderBy(sort_col, rec_id_col)
+    rn = (ranked.withColumn(
+        "_rn", F.row_number().over(w_local).cast("long") + off)
+        .withColumn("_blk", F.floor((F.col("_rn") - 1) / window)))
+
+    left = rn.select(
+        F.col("_blk").alias("_bk"), F.col(rec_id_col).alias("rec_l"),
+        F.col("_rn").alias("_rn_l"),
+        *[F.col(c).alias(f"{c}_l") for c in carry_cols])
+    # right side joinable from its own block AND the one before it
+    right = (rn.select(
+        F.explode(F.array(F.col("_blk"), F.col("_blk") - 1)).alias("_bk"),
+        F.col(rec_id_col).alias("rec_r"), F.col("_rn").alias("_rn_r"),
+        *[F.col(c).alias(f"{c}_r") for c in carry_cols]))
+    return (left.join(right, "_bk")
+            .filter((F.col("_rn_r") > F.col("_rn_l"))
+                    & (F.col("_rn_r") < F.col("_rn_l") + window))
+            .drop("_bk", "_rn_l", "_rn_r"))
 
 
 def blocking_quality(recs: DataFrame, cand: DataFrame,

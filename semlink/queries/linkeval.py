@@ -17,9 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..cluster import clustering_agreement, golden_records
 from ..linkeval import (EM_EPS, EM_INIT, EM_ITERS, block_pairs,
                         blocking_quality, em_patterns, fs_em_posterior_expr,
-                        fs_em_weights, fs_estimate_weights, fs_score)
+                        fs_em_weights, fs_estimate_weights, fs_score,
+                        sorted_neighborhood_pairs)
 from . import _read, q
 
 # Corruption moduli — shared verbatim with the oracle SQL below.
@@ -251,21 +253,9 @@ def rl_fellegi_sunter(spark, sf_dir):
         .cast("bigint"))
 
 
-@q("rl_blocking_quality", f"""
-  {_RECS_SQL},
-  cand AS (
-    SELECT l.rec_id AS rec_l, r.rec_id AS rec_r,
-           l.ent_id AS ent_l, r.ent_id AS ent_r
-    FROM recs l JOIN recs r
-      ON l.nat = r.nat AND l.rec_id < r.rec_id),
-  n AS (SELECT CAST(count(*) AS BIGINT) AS n_recs FROM recs),
-  t AS (SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_true
-        FROM (SELECT count(*) AS c FROM recs GROUP BY ent_id)),
-  f AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
-               CAST(sum(CASE WHEN ent_l = ent_r THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_found
-        FROM cand)
-  SELECT n_recs, n_cand, n_true, n_found,
+_SNM_W = 4          # sorted-neighborhood window, shared with the oracle
+
+_BQ_METRICS = """n_recs, n_cand, n_true, n_found,
          CAST(ROUND((1.0 - CAST(n_cand AS DOUBLE)
                      / CAST(n_recs * (n_recs - 1) / 2 AS DOUBLE))
                     * 1000000) AS BIGINT) AS rr6,
@@ -274,14 +264,153 @@ def rl_fellegi_sunter(spark, sf_dir):
               AS BIGINT) AS pc6,
          CAST(ROUND(CAST(n_found AS DOUBLE)
                     / CAST(greatest(n_cand, 1) AS DOUBLE) * 1000000)
-              AS BIGINT) AS pq6
+              AS BIGINT) AS pq6"""
+
+
+@q("rl_blocking_quality", f"""
+  {_RECS_SQL},
+  cand AS (
+    SELECT l.rec_id AS rec_l, r.rec_id AS rec_r,
+           l.ent_id AS ent_l, r.ent_id AS ent_r
+    FROM recs l JOIN recs r
+      ON l.nat = r.nat AND l.rec_id < r.rec_id),
+  rnk AS (
+    SELECT rec_id, ent_id,
+           row_number() OVER (ORDER BY bal_cents, rec_id) AS rn
+    FROM recs),
+  scand AS (
+    SELECT l.rec_id AS rec_l, r.rec_id AS rec_r,
+           l.ent_id AS ent_l, r.ent_id AS ent_r
+    FROM rnk l JOIN rnk r
+      ON r.rn > l.rn AND r.rn < l.rn + {_SNM_W}),
+  n AS (SELECT CAST(count(*) AS BIGINT) AS n_recs FROM recs),
+  t AS (SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_true
+        FROM (SELECT count(*) AS c FROM recs GROUP BY ent_id)),
+  f AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(sum(CASE WHEN ent_l = ent_r THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found
+        FROM cand),
+  sf AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+                CAST(sum(CASE WHEN ent_l = ent_r THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_found
+         FROM scand)
+  SELECT 'nation' AS scheme, {_BQ_METRICS}
   FROM n CROSS JOIN t CROSS JOIN f
+  UNION ALL
+  SELECT 'snm' AS scheme, {_BQ_METRICS}
+  FROM n CROSS JOIN t CROSS JOIN sf
 """)
 def rl_blocking_quality(spark, sf_dir):
     """Christen (2012) blocking evaluation — reduction ratio, pairs
-    completeness, pairs quality — of the nation blocking key against
-    the by-construction entity labels; true-pair count from a
-    groupBy-size aggregation, never a materialized match set."""
+    completeness, pairs quality — of TWO blocking schemes against the
+    by-construction entity labels, one row each: the nation equi-key
+    and a sorted-neighborhood pass (Hernández-Stolfo '95) over the
+    balance sort key with window {w}. True-pair count comes from a
+    groupBy-size aggregation, never a materialized match set; the SNM
+    candidate generation is the banded-equi-join rank window (the
+    balance corruption on even entities makes its completeness
+    density-dependent, so the two schemes trade rr against pc)."""
     recs = _records(spark, sf_dir)
-    cand = block_pairs(recs, "nat")
-    return blocking_quality(recs, cand)
+    nat = blocking_quality(recs, block_pairs(recs, "nat")) \
+        .select(F.lit("nation").alias("scheme"), "*")
+    snm = blocking_quality(
+        recs, sorted_neighborhood_pairs(recs, "bal_cents", _SNM_W)) \
+        .select(F.lit("snm").alias("scheme"), "*")
+    return nat.unionByName(snm)
+
+
+rl_blocking_quality.__doc__ = rl_blocking_quality.__doc__.format(w=_SNM_W)
+
+
+_C2 = "(c * (c - 1)) // 2"
+_ARI_DEN = ("(CAST(a_pairs AS DOUBLE) + CAST(b_pairs AS DOUBLE))"
+            " / CAST(2 AS DOUBLE) - exp_d")
+
+
+@q("rl_cluster_metrics", f"""
+  {_RECS_SQL},
+  cells AS (
+    SELECT nat, ent_id, CAST(count(*) AS BIGINT) AS c
+    FROM recs GROUP BY nat, ent_id),
+  pp AS (SELECT CAST(sum({_C2}) AS BIGINT) AS p_pairs FROM cells),
+  ap AS (SELECT CAST(sum({_C2}) AS BIGINT) AS a_pairs
+         FROM (SELECT CAST(sum(c) AS BIGINT) AS c FROM cells
+               GROUP BY nat)),
+  bp AS (SELECT CAST(sum({_C2}) AS BIGINT) AS b_pairs
+         FROM (SELECT CAST(sum(c) AS BIGINT) AS c FROM cells
+               GROUP BY ent_id)),
+  nn AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM recs),
+  st AS (SELECT n_items, p_pairs, a_pairs, b_pairs,
+                CAST((n_items * (n_items - 1)) // 2 AS BIGINT)
+                  AS tot_pairs
+         FROM nn CROSS JOIN pp CROSS JOIN ap CROSS JOIN bp),
+  ex AS (SELECT *,
+                CAST(a_pairs AS DOUBLE) * CAST(b_pairs AS DOUBLE)
+                / CAST(greatest(tot_pairs, 1) AS DOUBLE) AS exp_d,
+                CAST(p_pairs AS DOUBLE)
+                / CAST(greatest(a_pairs, 1) AS DOUBLE) AS ppd,
+                CAST(p_pairs AS DOUBLE)
+                / CAST(greatest(b_pairs, 1) AS DOUBLE) AS prd
+         FROM st)
+  SELECT n_items, p_pairs, a_pairs, b_pairs, tot_pairs,
+         CAST(ROUND((CASE WHEN {_ARI_DEN} = 0 THEN 1.0
+                     ELSE (CAST(p_pairs AS DOUBLE) - exp_d)
+                          / ({_ARI_DEN}) END) * 1000000) AS BIGINT)
+           AS ari6,
+         CAST(ROUND(ppd * 1000000) AS BIGINT) AS pp6,
+         CAST(ROUND(prd * 1000000) AS BIGINT) AS pr6,
+         CAST(ROUND((CASE WHEN p_pairs = 0 THEN 0.0
+                     ELSE CAST(2 AS DOUBLE) * ppd * prd / (ppd + prd)
+                     END) * 1000000) AS BIGINT) AS pf16
+  FROM ex
+""")
+def rl_cluster_metrics(spark, sf_dir):
+    """Cluster-level agreement of the (corrupted) nation partition
+    against the by-construction entities on the planted-duplicate
+    benchmark: Hubert-Arabie Adjusted Rand Index + pairwise
+    precision / recall / F1 from integer-exact pair-counting
+    sufficient statistics (cluster.clustering_agreement). The oracle
+    re-derives the contingency cells, all four BIGINT pair counts and
+    the identical fixed-shape scalar expressions, so the rounded
+    metrics are hash-exact."""
+    recs = _records(spark, sf_dir)
+    return clustering_agreement(recs, pred_col="nat", truth_col="ent_id")
+
+
+@q("rl_golden_record", f"""
+  {_RECS_SQL},
+  npick AS (
+    SELECT ent_id, name FROM (
+      SELECT ent_id, name,
+             row_number() OVER (PARTITION BY ent_id
+                                ORDER BY length(name), name, rec_id)
+               AS rk
+      FROM recs) WHERE rk = 1),
+  spick AS (
+    SELECT ent_id, seg FROM (
+      SELECT ent_id, seg,
+             row_number() OVER (PARTITION BY ent_id
+                                ORDER BY c DESC, seg) AS rk
+      FROM (SELECT ent_id, seg, CAST(count(*) AS BIGINT) AS c
+            FROM recs GROUP BY ent_id, seg)) WHERE rk = 1),
+  gbase AS (
+    SELECT ent_id, CAST(max(bal_cents) AS BIGINT) AS bal_cents,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM recs GROUP BY ent_id)
+  SELECT b.ent_id, n.name, s.seg, b.bal_cents, b.n_members
+  FROM gbase b
+  JOIN npick n ON n.ent_id = b.ent_id
+  JOIN spick s ON s.ent_id = b.ent_id
+""")
+def rl_golden_record(spark, sf_dir):
+    """Survivorship: one canonical record per resolved entity on the
+    planted-duplicate benchmark (cluster.golden_records) — shortest-
+    then-lexicographic name (corruption lengthens or 'X'-inflates),
+    mode-with-value-tie-break market segment (the 'CORRUPT' injection
+    wins only where it ties and sorts first), max balance, member
+    count. String/bigint output only, so the oracle — identical
+    window rank-1 picks and aggregates in DuckDB — is exact with no
+    float convention needed."""
+    recs = _records(spark, sf_dir)
+    return golden_records(recs, "ent_id", shortest_cols=("name",),
+                          mode_cols=("seg",), max_cols=("bal_cents",))

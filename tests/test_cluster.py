@@ -161,3 +161,91 @@ def test_cc_path_graph_depth(spark, tmp_path):
     # fingerprint-equal convergence step); anything near
     # max_cc_iterations (50) means contraction broke
     assert steps <= 16, f"path graph took {steps} supersteps"
+
+
+def _agreement_fixture(spark):
+    # pred P1={1,2,3} P2={4,5,6}; truth T1={1,2,3,4} T2={5,6}
+    rows = [(1, "P1", "T1"), (2, "P1", "T1"), (3, "P1", "T1"),
+            (4, "P2", "T1"), (5, "P2", "T2"), (6, "P2", "T2")]
+    return spark.createDataFrame(
+        rows, "item long, cluster_id string, ent_id string")
+
+
+def test_clustering_agreement_hand_values(spark):
+    """Contingency {P1xT1:3, P2xT1:1, P2xT2:2}: p_pairs=4, a_pairs=6,
+    b_pairs=7, tot=15 -> ARI = (4-2.8)/(6.5-2.8) = 0.324324...,
+    pair precision 4/6, recall 4/7, F1 = 2P/(A+B) = 8/13."""
+    from semlink.cluster import clustering_agreement
+    m = clustering_agreement(_agreement_fixture(spark)).collect()[0]
+    assert (m.n_items, m.p_pairs, m.a_pairs, m.b_pairs, m.tot_pairs) \
+        == (6, 4, 6, 7, 15)
+    assert m.ari6 == round(1.2 / 3.7 * 1e6)
+    assert m.pp6 == round(4 / 6 * 1e6)
+    assert m.pr6 == round(4 / 7 * 1e6)
+    assert m.pf16 == round(8 / 13 * 1e6)
+
+
+def test_clustering_agreement_perfect_and_degenerate(spark):
+    """Identical clusterings score 1.0 on every metric; the doubly
+    degenerate all-singletons case (A = B = P = 0, ARI denominator 0)
+    takes the identical-clustering convention ARI = 1, F1 = 0."""
+    from semlink.cluster import clustering_agreement
+    perfect = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "a"), (3, "b", "b")],
+        "item long, cluster_id string, ent_id string")
+    m = clustering_agreement(perfect).collect()[0]
+    assert (m.ari6, m.pp6, m.pr6, m.pf16) == (1_000_000,) * 4
+    single = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")],
+        "item long, cluster_id string, ent_id string")
+    s = clustering_agreement(single).collect()[0]
+    assert (s.p_pairs, s.a_pairs, s.b_pairs) == (0, 0, 0)
+    assert s.ari6 == 1_000_000 and s.pf16 == 0
+
+
+def test_bcubed_hand_values(spark):
+    """Same fixture: B3 precision = (3*1 + 1/3 + 2*(2/3))/6 = 7/9,
+    recall = (3*(3/4) + 1/4 + 2*1)/6 = 3/4, F1 = 42/55 — dyadic-free
+    fractions still land exactly at 1e-6 scale."""
+    from semlink.cluster import bcubed
+    m = bcubed(_agreement_fixture(spark)).collect()[0]
+    assert m.n_items == 6
+    assert m.b3p6 == round(7 / 9 * 1e6)
+    assert m.b3r6 == round(3 / 4 * 1e6)
+    assert m.b3f16 == round(42 / 55 * 1e6)
+
+
+def test_bcubed_perfect(spark):
+    from semlink.cluster import bcubed
+    perfect = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "a"), (3, "b", "b")],
+        "item long, cluster_id string, ent_id string")
+    m = bcubed(perfect).collect()[0]
+    assert (m.b3p6, m.b3r6, m.b3f16) == (1_000_000,) * 3
+
+
+def test_golden_records_hand_values(spark):
+    """Cluster of 3: shortest-then-lexical name ('Ann' beats 'Anne'
+    and 'Ann' == 'Ann' ties break stably), mode segment (2x'B' beats
+    1x'A'), max balance; singleton cluster passes through."""
+    from semlink.cluster import golden_records
+    recs = spark.createDataFrame(
+        [(1, 10, "Anne", "A", 500), (2, 10, "Ann", "B", 300),
+         (3, 10, "Axx", "B", 700), (4, 20, "Bob", "C", 100)],
+        "rec_id long, ent_id long, name string, seg string, bal long")
+    rows = {r.ent_id: r for r in golden_records(
+        recs, "ent_id", shortest_cols=("name",), mode_cols=("seg",),
+        max_cols=("bal",)).collect()}
+    g = rows[10]
+    assert (g.name, g.seg, g.bal, g.n_members) == ("Ann", "B", 700, 3)
+    s = rows[20]
+    assert (s.name, s.seg, s.bal, s.n_members) == ("Bob", "C", 100, 1)
+
+
+def test_golden_records_mode_tie_breaks_by_value(spark):
+    """1-1 segment tie -> lexicographically smaller value wins."""
+    from semlink.cluster import golden_records
+    recs = spark.createDataFrame(
+        [(1, 10, "Z"), (2, 10, "A")], "rec_id long, ent_id long, seg string")
+    g = golden_records(recs, "ent_id", mode_cols=("seg",)).collect()[0]
+    assert g.seg == "A" and g.n_members == 2

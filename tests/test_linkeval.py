@@ -6,7 +6,8 @@ import math
 from pyspark.sql import functions as F
 
 from semlink.linkeval import (block_pairs, blocking_quality, fs_em_fit,
-                              fs_em_weights, fs_estimate_weights, fs_score)
+                              fs_em_weights, fs_estimate_weights, fs_score,
+                              sorted_neighborhood_pairs)
 
 
 def _pairs_fixture(spark):
@@ -153,14 +154,50 @@ def test_fs_query_separates_planted_duplicates(spark):
     df.unpersist()
 
 
+def test_snm_pairs_hand_values(spark):
+    """5 records, window 3: exactly the rank-difference-{1,2} pairs,
+    each once, rec_l = lower rank; ties on the sort key break by
+    rec_id (records 30/31 share key 30 -> rank order 3 then 4)."""
+    recs = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (5, 30), (4, 40)],
+        "rec_id long, k long")
+    got = {(r.rec_l, r.rec_r) for r in
+           sorted_neighborhood_pairs(recs, "k", 3).collect()}
+    # rank order by (k, rec_id): 1,2,3,5,4
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 5), (3, 5), (3, 4), (5, 4)}
+
+
+def test_snm_pairs_window_two_and_carry(spark):
+    """window 2 keeps only rank-adjacent pairs; carry columns arrive
+    with _l/_r suffixes."""
+    recs = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "rec_id long, k long, v string")
+    rows = sorted_neighborhood_pairs(recs, "k", 2, carry_cols=("v",)) \
+        .collect()
+    got = {(r.rec_l, r.rec_r, r.v_l, r.v_r) for r in rows}
+    assert got == {(1, 2, "a", "b"), (2, 3, "b", "c")}
+
+
 def test_blocking_quality_query_nontrivial(spark):
-    """The nation-blocking evaluation lands strictly inside (0, 1) on
-    all three metrics: corruption on the blocking key loses some true
-    pairs (pc < 1) while blocking still prunes most of the comparison
-    space (rr near 1, pq small but nonzero)."""
+    """Two scheme rows. Nation blocking: all three metrics strictly
+    inside (0, 1) — key corruption loses true pairs (pc < 1) while
+    still pruning most of the comparison space. Sorted-neighborhood
+    over the balance key: finds true pairs (pc > 0) with even stronger
+    reduction (its candidate count is ~N·w), demonstrating the rr/pc
+    trade between the schemes."""
     from semlink.queries.linkeval import rl_blocking_quality
-    m = rl_blocking_quality(spark, "/root/testdata/sf0.001").collect()[0]
+    rows = {r.scheme: r for r in
+            rl_blocking_quality(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"nation", "snm"}
+    m = rows["nation"]
     assert 0 < m.pc6 < 1_000_000
     assert 900_000 < m.rr6 < 1_000_000
     assert 0 < m.pq6 < 1_000_000
     assert m.n_found < m.n_true < m.n_cand
+    s = rows["snm"]
+    assert s.n_true == m.n_true and s.n_recs == m.n_recs
+    assert 0 < s.pc6 <= 1_000_000
+    assert s.rr6 > m.rr6          # ~N·w candidates vs block quadratic
+    assert 0 < s.pq6 <= 1_000_000
+    assert s.n_found <= s.n_true
