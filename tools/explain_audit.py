@@ -152,6 +152,39 @@ def main():
     checks.append(("DataFrame gate is BroadcastHashJoin LeftSemi",
                    "BroadcastHashJoin" in p7 and "LeftSemi" in p7))
 
+    # 8. SNM candidate generation: the rank-window predicate runs as a
+    #    banded equi join on the block key — never a cartesian /
+    #    nested-loop blowup over the full comparison space
+    from semlink.linkeval import sorted_neighborhood_pairs
+    from semlink.queries.linkeval import _records
+    recs = _records(spark, sf)
+    p8 = formatted(sorted_neighborhood_pairs(recs, "bal_cents", 4))
+    sections["sorted-neighborhood pairs (C8 SNM)"] = p8
+    checks.append(("SNM pair join is equi on the band key, no cartesian",
+                   "_bk" in p8 and "CartesianProduct" not in p8
+                   and "BroadcastNestedLoopJoin" not in p8))
+
+    # 9. pair-counting agreement: contingency-cell aggregation combines
+    #    map-side (partial_count) before the key shuffle
+    from semlink.cluster import clustering_agreement, golden_records
+    p9 = formatted(clustering_agreement(recs, pred_col="nat",
+                                        truth_col="ent_id"))
+    sections["clustering agreement (C9 ARI/pair metrics)"] = p9
+    checks.append(("agreement cell agg has map-side partial combine",
+                   "partial_count" in p9))
+
+    # 10. survivorship: every window / aggregate keys on the cluster id
+    #     — a SinglePartition exchange would serialize the merge
+    p10 = formatted(golden_records(recs, "ent_id",
+                                   shortest_cols=("name",),
+                                   mode_cols=("seg",),
+                                   max_cols=("bal_cents",)))
+    sections["golden records (C10 survivorship)"] = p10
+    checks.append(("golden-record windows keyed by cluster, "
+                   "no SinglePartition exchange",
+                   "Window" in p10
+                   and "Exchange SinglePartition" not in p10))
+
     out = ["# PLANS — physical plan audit\n",
            "Generated by tools/explain_audit.py. Checks:\n"]
     ok = True
