@@ -50,6 +50,7 @@ HEADLINE = [
     "text_corpus_filter", "ann_embed_text", "media_jpeg",
     "rl_fellegi_sunter", "rl_blocking_quality",
     "rl_cluster_metrics", "rl_golden_record",
+    "rl_meta_blocking", "dedup_setsim_join",
     "agg_pricing_summary",
 ]
 
@@ -64,7 +65,8 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "text_pii_stats", "text_corpus_filter",
                "ann_embed_text", "media_jpeg",
                "rl_fellegi_sunter", "rl_blocking_quality",
-               "rl_cluster_metrics", "rl_golden_record"]
+               "rl_cluster_metrics", "rl_golden_record",
+               "rl_meta_blocking", "dedup_setsim_join"]
 
 
 def ensure_bench_fixture(spark) -> str:

@@ -208,6 +208,91 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame,
                         F.col("inter") / (F.col("n_l") + F.col("n_r") - F.col("inter"))))
 
 
+def setsim_join_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_n: int = 3,
+                      t_num: int = 1, t_den: int = 2) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= t_num/t_den over
+    distinct token shingles — the prefix-filtering AllPairs/PPJoin
+    family (Bayardo, Ma & Srikant, WWW 2007; Xiao, Wang, Lin & Yu,
+    WWW 2008). Complements LSH: same candidate-then-verify shape but
+    NO false negatives — every pair at or above the threshold is
+    returned, so this is the scale path when the dedup policy must be
+    exact rather than probabilistic.
+
+    Filter chain (each a pure-SQL relational step, no UDFs):
+
+    1. **Canonical order**: each document's shingles are ranked by
+       global (document frequency, shingle) ascending — rarest first.
+       The per-doc rank is a window keyed by the document (one
+       shuffle); the frequency table is one map-side-combined groupBy.
+    2. **Prefix filter**: doc x only emits its first
+       ``|x| - ceil(t*|x|) + 1`` shingles; two docs with Jaccard >= t
+       MUST share a prefix shingle (pigeonhole on the canonical
+       order), so the candidate join is an EQUI join on the prefix
+       shingle — never a cartesian. Rare-first ordering keeps prefix
+       postings short.
+    3. **Length filter**: J >= t implies den*min(|x|,|y|) >=
+       num*max(|x|,|y|) — applied inside the join, integer-exact.
+    4. **Positional filter** (PPJoin): the globally-first shared
+       prefix shingle minimizes both per-doc ranks simultaneously
+       (per-doc orders are restrictions of one total order), so
+       overlap <= 1 + min(|x|-i, |y|-j) with (i, j) = groupBy-min
+       ranks; pairs whose bound misses the required overlap
+       ceil(num*(|x|+|y|)/(den+num)) are pruned before verification.
+    5. **Verify**: exact overlap via fan-out join on (doc, shingle)
+       equi keys, then the integer-exact threshold test
+       o*(den+num) >= num*(|x|+|y|)  (equivalent to J >= t with no
+       float comparison).
+
+    All thresholds are rational (t_num/t_den) so every filter is
+    BIGINT arithmetic — bit-deterministic and oracle-portable; only
+    the reported ``jaccard6`` goes through the scaled-bigint float
+    convention. Empty/null-text docs emit the single '' shingle (the
+    family-wide null==empty convention) and dedupe among themselves.
+    """
+    from pyspark.sql import Window
+    sh = shingles_exploded(df, id_col, text_col, shingle_n).distinct()
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    w_pos = Window.partitionBy(id_col).orderBy("_df", "s")
+    w_sz = Window.partitionBy(id_col)
+    ordered = (sh.join(dfreq, "s")
+               .select(F.col(id_col), "s",
+                       F.row_number().over(w_pos).cast("long").alias("pos"),
+                       F.count(F.lit(1)).over(w_sz).alias("sz")))
+    prefix_len = F.expr(
+        f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1")
+    pref = ordered.filter(F.col("pos") <= prefix_len)
+    lft = pref.select("s", F.col(id_col).alias("left_id"),
+                      F.col("pos").alias("_pl"), F.col("sz").alias("sz_l"))
+    rgt = pref.select("s", F.col(id_col).alias("right_id"),
+                      F.col("pos").alias("_pr"), F.col("sz").alias("sz_r"))
+    cand = (lft.join(rgt, "s")
+            .filter((F.col("left_id") < F.col("right_id"))
+                    & (F.lit(t_den) * F.least("sz_l", "sz_r")
+                       >= F.lit(t_num) * F.greatest("sz_l", "sz_r")))
+            .groupBy("left_id", "right_id", "sz_l", "sz_r")
+            .agg(F.min("_pl").alias("_i"), F.min("_pr").alias("_j")))
+    min_overlap = F.expr(
+        f"({t_num} * (sz_l + sz_r) + {t_den + t_num - 1})"
+        f" div {t_den + t_num}")
+    cand = cand.filter(
+        F.lit(1) + F.least(F.col("sz_l") - F.col("_i"),
+                           F.col("sz_r") - F.col("_j")) >= min_overlap)
+    toks = ordered.select(F.col(id_col), "s")
+    ov = (cand.select("left_id", "right_id", "sz_l", "sz_r")
+          .join(toks.withColumnRenamed(id_col, "left_id"), "left_id")
+          .join(toks.withColumnRenamed(id_col, "right_id"), ["right_id", "s"])
+          .groupBy("left_id", "right_id", "sz_l", "sz_r")
+          .agg(F.count(F.lit(1)).alias("overlap")))
+    return (ov.filter(F.col("overlap") * (t_den + t_num)
+                      >= F.lit(t_num) * (F.col("sz_l") + F.col("sz_r")))
+            .select("left_id", "right_id", "sz_l", "sz_r", "overlap",
+                    F.round(F.col("overlap").cast("double")
+                            / (F.col("sz_l") + F.col("sz_r")
+                               - F.col("overlap")) * 1_000_000)
+                    .cast("bigint").alias("jaccard6")))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over distinct tokens: bit j of the signature is the sign

@@ -160,6 +160,90 @@ def blocking_quality(recs: DataFrame, cand: DataFrame,
         .alias("pq6"))
 
 
+def scheme_blocks(recs: DataFrame, schemes: dict[str, Column],
+                  rec_id_col: str = "rec_id") -> DataFrame:
+    """Multi-scheme blocking-key assignments: one (rec_id, bkey) row
+    per record per scheme, bkey = '<scheme>:<value>'. Null key values
+    drop their row (a record simply doesn't enter that scheme's
+    blocks). The union is column-pruned to two columns before any
+    downstream shuffle."""
+    parts = [recs.select(F.col(rec_id_col),
+                         F.concat_ws(":", F.lit(name), col.cast("string"))
+                         .alias("bkey"))
+             .filter(col.isNotNull())
+             for name, col in schemes.items()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def meta_blocking_pairs(blocks: DataFrame, rec_id_col: str = "rec_id",
+                        max_block: int = 256) -> DataFrame:
+    """Meta-blocking (Papadakis, Koutrika, Palpanas & Nejdl, TKDE
+    2014): re-model a redundancy-positive block collection as a
+    weighted pair graph and prune low-evidence edges BEFORE any
+    pairwise comparison runs — the standard way to cut a blocking
+    scheme's candidate set at web scale without touching recall on
+    strongly co-blocked duplicates.
+
+    Stages (all relational, one pair-key shuffle after the block
+    join):
+
+    - **Block purging**: blocks larger than ``max_block`` are dropped
+      (high-frequency keys carry little evidence and quadratic cost —
+      same guard as the LSH bucket cap).
+    - **Edge weighting**: for every co-blocked pair, CBS = number of
+      shared blocks (one groupBy); JS = CBS / (|B_l| + |B_r| - CBS);
+      ECBS = CBS * ln(|B|/|B_l|) * ln(|B|/|B_r|) with |B_x| the
+      record's retained-block count and |B| the total retained block
+      count (1-row broadcast).
+    - **Weighted-edge pruning (WEP)**: keep edges whose CBS clears
+      the mean edge weight. The mean test is the integer-exact cross
+      product  cbs * n_edges >= cbs_sum  — both sides BIGINT — so the
+      kept flag is bit-deterministic under any partitioning (an ECBS
+      mean would inherit distributed float-sum order; CBS is the
+      weight whose mean is exactly representable).
+
+    Returns one row per candidate edge: (rec_l, rec_r, cbs, bl_l,
+    bl_r, js6, ecbs6, kept) with the scaled-bigint float convention
+    on the real-valued weights."""
+    sized = (blocks.groupBy("bkey")
+             .agg(F.count(F.lit(1)).alias("_bn")))
+    ok = sized.filter(F.col("_bn") <= max_block).select("bkey")
+    kept_blocks = blocks.join(ok, "bkey", "left_semi")
+    bl = kept_blocks.groupBy(rec_id_col).agg(
+        F.count(F.lit(1)).alias("_bl"))
+    nb = kept_blocks.select(F.count_distinct("bkey").alias("_nb"))
+    lft = kept_blocks.select("bkey", F.col(rec_id_col).alias("rec_l"))
+    rgt = kept_blocks.select("bkey", F.col(rec_id_col).alias("rec_r"))
+    edges = (lft.join(rgt, "bkey")
+             .filter(F.col("rec_l") < F.col("rec_r"))
+             .groupBy("rec_l", "rec_r")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cbs")))
+    tot = edges.agg(F.count(F.lit(1)).cast("bigint").alias("_ne"),
+                    F.sum("cbs").cast("bigint").alias("_cs"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    w = (edges
+         .join(bl.select(F.col(rec_id_col).alias("rec_l"),
+                         F.col("_bl").alias("bl_l")), "rec_l")
+         .join(bl.select(F.col(rec_id_col).alias("rec_r"),
+                         F.col("_bl").alias("bl_r")), "rec_r")
+         .crossJoin(F.broadcast(nb))
+         .crossJoin(F.broadcast(tot)))
+    r6 = lambda c: F.round(c * 1_000_000).cast("bigint")  # noqa: E731
+    return w.select(
+        "rec_l", "rec_r", "cbs",
+        F.col("bl_l").cast("bigint").alias("bl_l"),
+        F.col("bl_r").cast("bigint").alias("bl_r"),
+        r6(d(F.col("cbs"))
+           / d(F.col("bl_l") + F.col("bl_r") - F.col("cbs"))).alias("js6"),
+        r6(d(F.col("cbs"))
+           * F.log(d(F.col("_nb")) / d(F.col("bl_l")))
+           * F.log(d(F.col("_nb")) / d(F.col("bl_r")))).alias("ecbs6"),
+        (F.col("cbs") * F.col("_ne") >= F.col("_cs")).alias("kept"))
+
+
 def fs_estimate_weights(pairs: DataFrame, fields: Sequence[str],
                         label_col: str = "is_match") -> DataFrame:
     """Fellegi-Sunter m/u estimation from labeled pairs: ONE

@@ -105,6 +105,118 @@ def dedup_ngram_jaccard(spark, sf_dir):
             / (F.col("n_l") + F.col("n_r") - F.col("inter"))).alias("jaccard6"))
 
 
+# ---------------------------------------------------- consolidated
+# (window-budget consolidation — see queries/rl.py note.) The exact
+# Jaccard verify runs ON the LSH candidate pairs, so one hash-gated
+# entry pins the whole minhash → bucket → capped pair join → verify
+# chain (each upstream stage changes the hash) while freeing the two
+# single-purpose slots for the new linkage operators.
+
+@q("dedup_lsh_jaccard", f"""
+  WITH b AS ({_BUCKET_SQL}),
+  sized AS (SELECT band, bucket FROM b GROUP BY band, bucket
+            HAVING count(*) <= 64),
+  cand AS (
+    SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+    FROM (SELECT b.* FROM b JOIN sized USING (band, bucket)) l
+    JOIN (SELECT b.* FROM b JOIN sized USING (band, bucket)) r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+  sh AS ({_SHINGLE_SQL}),
+  sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+  ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+  inter AS (SELECT p.left_id, p.right_id, count(*) AS inter
+            FROM cand p
+            JOIN ex el ON el.doc_id = p.left_id
+            JOIN ex er ON er.doc_id = p.right_id AND er.s = el.s
+            GROUP BY 1, 2)
+  SELECT p.left_id, p.right_id,
+         coalesce(i.inter, 0) AS inter,
+         CAST(ROUND(CAST(coalesce(i.inter, 0) AS DOUBLE)
+              / (sl.n_sh + sr.n_sh - coalesce(i.inter, 0)) * {SCALE})
+              AS BIGINT) AS jaccard6
+  FROM cand p
+  LEFT JOIN inter i USING (left_id, right_id)
+  JOIN sizes sl ON sl.doc_id = p.left_id
+  JOIN sizes sr ON sr.doc_id = p.right_id
+""")
+def dedup_lsh_jaccard(spark, sf_dir):
+    """LSH candidate generation + exact shingle-Jaccard verify in one
+    hash-gated entry (consolidates dedup_lsh_pairs +
+    dedup_ngram_jaccard; both remain registered for bench)."""
+    d = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(d)
+    pairs = dd.lsh_candidate_pairs(dd.lsh_buckets(sigs))
+    jac = dd.ngram_jaccard(d, pairs)
+    return jac.select(
+        "left_id", "right_id",
+        F.col("inter").cast("bigint").alias("inter"),
+        _r6(F.col("inter").cast("double")
+            / (F.col("n_l") + F.col("n_r") - F.col("inter")))
+        .alias("jaccard6"))
+
+
+# Exact set-similarity join threshold — rational so every filter is
+# integer arithmetic in both engines (see datapipe.dedup docstring).
+_SS_TN = 4
+_SS_TD = 5
+
+
+@q("dedup_setsim_join", f"""
+  WITH sh AS ({_SHINGLE_SQL}),
+  ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+  dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS dfr
+            FROM ex GROUP BY s),
+  ordered AS (
+    SELECT e.doc_id, e.s,
+           CAST(row_number() OVER (PARTITION BY e.doc_id
+                                   ORDER BY d.dfr, e.s) AS BIGINT) AS pos,
+           CAST(count(*) OVER (PARTITION BY e.doc_id) AS BIGINT) AS sz
+    FROM ex e JOIN dfreq d USING (s)),
+  pref AS (
+    SELECT * FROM ordered
+    WHERE pos <= sz - (({_SS_TN} * sz + {_SS_TD - 1}) // {_SS_TD}) + 1),
+  cand AS (
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           l.sz AS sz_l, r.sz AS sz_r,
+           min(l.pos) AS i, min(r.pos) AS j
+    FROM pref l JOIN pref r
+      ON l.s = r.s AND l.doc_id < r.doc_id
+     AND {_SS_TD} * least(l.sz, r.sz) >= {_SS_TN} * greatest(l.sz, r.sz)
+    GROUP BY 1, 2, 3, 4),
+  cand2 AS (
+    SELECT * FROM cand
+    WHERE 1 + least(sz_l - i, sz_r - j)
+          >= ({_SS_TN} * (sz_l + sz_r) + {_SS_TD + _SS_TN - 1})
+             // {_SS_TD + _SS_TN}),
+  ov AS (
+    SELECT c.left_id, c.right_id, c.sz_l, c.sz_r,
+           CAST(count(*) AS BIGINT) AS overlap
+    FROM cand2 c
+    JOIN ex el ON el.doc_id = c.left_id
+    JOIN ex er ON er.doc_id = c.right_id AND er.s = el.s
+    GROUP BY 1, 2, 3, 4)
+  SELECT left_id, right_id, sz_l, sz_r, overlap,
+         CAST(ROUND(CAST(overlap AS DOUBLE)
+              / (sz_l + sz_r - overlap) * {SCALE}) AS BIGINT) AS jaccard6
+  FROM ov
+  WHERE overlap * {_SS_TD + _SS_TN} >= {_SS_TN} * (sz_l + sz_r)
+""")
+def dedup_setsim_join(spark, sf_dir):
+    """EXACT threshold-Jaccard self-join at t = {tn}/{td} via prefix
+    filtering (AllPairs/PPJoin, Bayardo '07 / Xiao '08) — the
+    no-false-negative alternative to LSH for strict dedup policies.
+    The oracle re-derives the canonical rare-first shingle order, the
+    prefix / length / positional filters, and the integer-exact
+    verification; pytest separately pins the output equal to the
+    brute-force threshold join."""
+    return dd.setsim_join_pairs(_docs(spark, sf_dir),
+                                t_num=_SS_TN, t_den=_SS_TD)
+
+
+dedup_setsim_join.__doc__ = dedup_setsim_join.__doc__.format(
+    tn=_SS_TN, td=_SS_TD)
+
+
 _SIMHASH_NIB = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
 _SIMHASH_SQL = (
     "WITH toks AS (SELECT doc_id, unnest(list_distinct("

@@ -21,6 +21,7 @@ from ..cluster import clustering_agreement, golden_records
 from ..linkeval import (EM_EPS, EM_INIT, EM_ITERS, block_pairs,
                         blocking_quality, em_patterns, fs_em_fit,
                         fs_em_posterior_expr, fs_score,
+                        meta_blocking_pairs, scheme_blocks,
                         sorted_neighborhood_pairs)
 from . import _read, q
 
@@ -343,6 +344,82 @@ def rl_blocking_quality(spark, sf_dir):
 
 
 rl_blocking_quality.__doc__ = rl_blocking_quality.__doc__.format(w=_SNM_W)
+
+
+# Meta-blocking scheme constants — shared verbatim with the oracle.
+# Four redundancy-positive schemes with different corruption escape
+# routes: nation (corrupted at ck%11), segment (ck%7, and purged at
+# larger SF where its blocks exceed the cap), a balance band (shifted
+# positive so integer division is floor division in BOTH engines —
+# Spark div truncates toward zero, DuckDB // floors), and the name
+# 4-char SUFFIX, which survives the ZZZ-prefix corruption exactly
+# when the nation key may not.
+_MB_CAP = 256
+_MB_BAL_SHIFT = 100000
+_MB_BAL_BAND = 10000
+
+
+def _mb_blocks(recs):
+    return scheme_blocks(recs, {
+        "nat": F.col("nat"),
+        "seg": F.col("seg"),
+        "bal": F.expr(f"(bal_cents + {_MB_BAL_SHIFT}) div {_MB_BAL_BAND}"),
+        "sfx": F.expr("right(name, 4)")})
+
+
+@q("rl_meta_blocking", f"""
+  {_RECS_SQL},
+  blocks AS (
+    SELECT rec_id, 'nat:' || CAST(nat AS VARCHAR) AS bkey FROM recs
+    UNION ALL
+    SELECT rec_id, 'seg:' || seg FROM recs
+    UNION ALL
+    SELECT rec_id, 'bal:' || CAST((bal_cents + {_MB_BAL_SHIFT})
+                                  // {_MB_BAL_BAND} AS VARCHAR) FROM recs
+    UNION ALL
+    SELECT rec_id, 'sfx:' || right(name, 4) FROM recs),
+  keptb AS (SELECT bkey FROM blocks GROUP BY bkey
+            HAVING count(*) <= {_MB_CAP}),
+  kb AS (SELECT b.* FROM blocks b JOIN keptb USING (bkey)),
+  bl AS (SELECT rec_id, CAST(count(*) AS BIGINT) AS bl
+         FROM kb GROUP BY rec_id),
+  nbt AS (SELECT CAST(count(DISTINCT bkey) AS BIGINT) AS nb FROM kb),
+  edges AS (SELECT l.rec_id AS rec_l, r.rec_id AS rec_r,
+                   CAST(count(*) AS BIGINT) AS cbs
+            FROM kb l JOIN kb r
+              ON l.bkey = r.bkey AND l.rec_id < r.rec_id
+            GROUP BY 1, 2),
+  tot AS (SELECT CAST(count(*) AS BIGINT) AS ne,
+                 CAST(sum(cbs) AS BIGINT) AS cs FROM edges)
+  SELECT e.rec_l, e.rec_r, e.cbs, a.bl AS bl_l, b.bl AS bl_r,
+         CAST(ROUND(CAST(e.cbs AS DOUBLE)
+                    / CAST(a.bl + b.bl - e.cbs AS DOUBLE) * 1000000)
+              AS BIGINT) AS js6,
+         CAST(ROUND(CAST(e.cbs AS DOUBLE)
+                    * ln(CAST(nb AS DOUBLE) / CAST(a.bl AS DOUBLE))
+                    * ln(CAST(nb AS DOUBLE) / CAST(b.bl AS DOUBLE))
+                    * 1000000) AS BIGINT) AS ecbs6,
+         e.cbs * ne >= cs AS kept
+  FROM edges e
+  JOIN bl a ON a.rec_id = e.rec_l
+  JOIN bl b ON b.rec_id = e.rec_r
+  CROSS JOIN nbt CROSS JOIN tot
+""")
+def rl_meta_blocking(spark, sf_dir):
+    """Meta-blocking (Papadakis et al., TKDE 2014) over a four-scheme
+    block collection on the planted-duplicate benchmark: block
+    purging at cap {cap}, per-edge CBS / Jaccard-scheme / ECBS
+    weights, and the integer-exact weighted-edge-pruning kept flag
+    (cbs·n_edges >= cbs_sum). The oracle re-derives the records, all
+    four schemes, the purge, every weight and the pruning decision;
+    true duplicates accumulate CBS across schemes with different
+    corruption escape routes, so pruning raises pairs quality (pinned
+    by pytest via blocking_quality)."""
+    recs = _records(spark, sf_dir)
+    return meta_blocking_pairs(_mb_blocks(recs), max_block=_MB_CAP)
+
+
+rl_meta_blocking.__doc__ = rl_meta_blocking.__doc__.format(cap=_MB_CAP)
 
 
 _C2 = "(c * (c - 1)) // 2"

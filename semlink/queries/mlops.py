@@ -270,15 +270,21 @@ def ml_stumps_apply(spark, sf_dir):
              {_ML_W[0]} * (CAST(length(p_name) AS DOUBLE) / 32.0)
            + {_ML_W[1]} * (p_retailprice / 2000.0)
            + {_ML_W[2]} * (CAST(p_size AS DOUBLE) / 50.0)
-           + {_ML_B}))) * {SCALE}) AS BIGINT) AS score6
+           + {_ML_B}))) * {SCALE}) AS BIGINT) AS score6,
+         CAST(ROUND((0.0 + {_STUMP_APPLY_SQL}) * {SCALE}) AS BIGINT)
+           AS margin6,
+         CASE WHEN (0.0 + {_STUMP_APPLY_SQL}) > 0 THEN 1 ELSE -1 END
+           AS pred
   FROM part
 """)
 def ml_logistic_features(spark, sf_dir):
     """X1 + X7 + T5 + M1 in one entry: the fixed-order feature-vector
-    assembly AND the Arrow pandas-UDF σ(Xw+b) model application joined
-    per key (consolidates ml_feature_assembly + ml_logistic_apply)."""
+    assembly, the Arrow pandas-UDF σ(Xw+b) model application AND the
+    boosted-stump ensemble margin (stump_score_expr), all joined per
+    key (consolidates ml_feature_assembly + ml_logistic_apply +
+    ml_stumps_apply; each remains registered for bench)."""
     import numpy as np
-    from ..learning import apply_model, assemble_features
+    from ..learning import apply_model, assemble_features, stump_score_expr
     p = _read(spark, sf_dir, "part")
     cands = p.select(
         "p_partkey",
@@ -300,4 +306,14 @@ def ml_logistic_features(spark, sf_dir):
         F.col("p_size").cast("double") / 50.0).alias("features"))
     scored = apply_model(mfeats, np.array(_ML_W), _ML_B).select(
         "p_partkey", _r6(F.col("learning_score")).alias("score6"))
-    return feats.join(scored, "p_partkey")
+    sfeats = p.select(
+        "p_partkey",
+        (F.length("p_name").cast("double") / 32.0).alias("sf0"),
+        (F.col("p_retailprice") / 2000.0).alias("sf1"),
+        (F.col("p_size").cast("double") / 50.0).alias("sf2"))
+    margin = stump_score_expr(_STUMPS, ["sf0", "sf1", "sf2"])
+    stumps = sfeats.select(
+        "p_partkey", _r6(margin).alias("margin6"),
+        F.when(margin > 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long").alias("pred"))
+    return feats.join(scored, "p_partkey").join(stumps, "p_partkey")

@@ -869,3 +869,58 @@ def test_corpus_filter_composed_verdict(spark):
     assert r[2].pass_heuristics == 0 and r[2].keep == 0
     assert r[3].pass_repetition == 0 and r[3].keep == 0
     assert r[4].pass_repetition == 0 and r[4].keep == 0
+
+
+def _setsim_brute(df, t_num, t_den):
+    import itertools
+    from semlink.datapipe.dedup import shingles_exploded
+    sets = {}
+    for r in shingles_exploded(df).distinct().collect():
+        sets.setdefault(r.doc_id, set()).add(r.s)
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        o = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and o * t_den >= t_num * u:
+            want[(a, b)] = (o, round(o / u * 1e6))
+    return want
+
+
+def test_setsim_join_exact_vs_brute_force(spark):
+    """The prefix-filtered join returns EXACTLY the brute-force
+    threshold-Jaccard pair set (no false negatives from the prefix /
+    length / positional filters, no false positives from the verify)
+    across three thresholds, including exact dups, empty/null docs
+    and sub-shingle-length docs."""
+    from semlink.datapipe.dedup import setsim_join_pairs
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text with other tokens here"),
+            (4, "completely different text with other tokens now"),
+            (5, ""), (6, None), (7, "short doc"), (8, "short doc"),
+            (9, "alpha beta gamma delta epsilon zeta eta theta"),
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),
+            (11, "one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for tn, td in [(1, 2), (4, 5), (9, 10)]:
+        got = {(r.left_id, r.right_id): (r.overlap, r.jaccard6)
+               for r in setsim_join_pairs(df, t_num=tn, t_den=td).collect()}
+        assert got == _setsim_brute(df, tn, td), f"t={tn}/{td}"
+
+
+def test_setsim_join_finds_planted_twins_corpus(spark):
+    """On the documents corpus the exact join at t=0.8 is a superset
+    check against LSH: every LSH-candidate pair whose verified
+    Jaccard clears 0.8 must be in the setsim output (LSH can only
+    miss pairs, never the exact join)."""
+    from semlink.datapipe import dedup as dd
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").filter("doc_id < 400"))
+    exact = {(r.left_id, r.right_id)
+             for r in dd.setsim_join_pairs(docs, t_num=4, t_den=5).collect()}
+    sigs = dd.minhash_signatures(docs)
+    lsh = dd.lsh_candidate_pairs(dd.lsh_buckets(sigs))
+    verified = dd.ngram_jaccard(docs, lsh).filter("jaccard >= 0.8")
+    lsh_pairs = {(r.left_id, r.right_id) for r in verified.collect()}
+    assert lsh_pairs <= exact

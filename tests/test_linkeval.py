@@ -201,3 +201,79 @@ def test_blocking_quality_query_nontrivial(spark):
     assert s.rr6 > m.rr6          # ~N·w candidates vs block quadratic
     assert 0 < s.pq6 <= 1_000_000
     assert s.n_found <= s.n_true
+
+
+def test_meta_blocking_weights_exact(spark):
+    """CBS / JS / ECBS and the WEP kept flag reproduce a hand-computed
+    mirror on a tiny multi-scheme block collection, including block
+    purging (cap 2) and a null scheme value dropping its row."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from semlink.linkeval import meta_blocking_pairs, scheme_blocks
+    rows = [(1, "AA", "x", 10), (2, "AA", "x", 11), (3, "AA", "y", 11),
+            (4, "BB", "y", 20), (5, "BB", None, 20), (6, "CC", "z", 30)]
+    recs = spark.createDataFrame(
+        rows, "rec_id long, nat string, seg string, bal long")
+    blocks = scheme_blocks(recs, {"nat": F.col("nat"),
+                                  "seg": F.col("seg"),
+                                  "bal": F.col("bal")})
+    got = {(r.rec_l, r.rec_r): r.asDict() for r in
+           meta_blocking_pairs(blocks, max_block=2).collect()}
+
+    bk = {rid: {f"nat:{nat}", f"bal:{bal}"} | ({f"seg:{seg}"} if seg else set())
+          for rid, nat, seg, bal in rows}
+    cnt = Counter(k for s in bk.values() for k in s)
+    bk = {r: {k for k in s if cnt[k] <= 2} for r, s in bk.items()}
+    nb = len(set().union(*bk.values()))
+    edges = {(a, b): len(bk[a] & bk[b])
+             for a, b in itertools.combinations(sorted(bk), 2)
+             if bk[a] & bk[b]}
+    ne, cs = len(edges), sum(edges.values())
+    assert set(got) == set(edges)
+    for (a, b), c in edges.items():
+        bl, br = len(bk[a]), len(bk[b])
+        e = got[(a, b)]
+        assert e["cbs"] == c and (e["bl_l"], e["bl_r"]) == (bl, br)
+        assert e["js6"] == round(c / (bl + br - c) * 1e6)
+        assert e["ecbs6"] == round(
+            c * math.log(nb / bl) * math.log(nb / br) * 1e6)
+        assert e["kept"] == (c * ne >= cs)
+
+
+def test_meta_blocking_wep_improves_quality(spark):
+    """On the planted-duplicate benchmark, WEP pruning must raise
+    pairs quality versus the raw co-blocked candidate set while
+    keeping completeness above half of raw — the whole point of
+    meta-blocking (pruned |cand| strictly smaller, precision up)."""
+    from semlink.linkeval import meta_blocking_pairs
+    from semlink.queries.linkeval import _mb_blocks, _records
+    recs = _records(spark, "/root/testdata/sf0.001")
+    edges = meta_blocking_pairs(_mb_blocks(recs)).cache()
+    try:
+        raw = blocking_quality(recs, edges).collect()[0]
+        wep = blocking_quality(recs, edges.filter("kept")).collect()[0]
+        assert 0 < wep.n_cand < raw.n_cand
+        assert wep.pq6 > raw.pq6
+        assert wep.pc6 * 2 >= raw.pc6
+        assert wep.n_found > 0
+    finally:
+        edges.unpersist()
+
+
+def test_meta_blocking_kept_flag_deterministic(spark):
+    """The WEP mean test is integer-exact: recomputing under a
+    different shuffle width yields the identical kept edge set."""
+    from semlink.linkeval import meta_blocking_pairs, scheme_blocks
+    recs = spark.createDataFrame(
+        [(i, i % 7, i % 3, i % 5) for i in range(200)],
+        "rec_id long, a long, b long, c long")
+    blocks = scheme_blocks(recs, {"a": F.col("a"), "b": F.col("b"),
+                                  "c": F.col("c")})
+    base = {(r.rec_l, r.rec_r, r.kept)
+            for r in meta_blocking_pairs(blocks, max_block=100).collect()}
+    again = {(r.rec_l, r.rec_r, r.kept)
+             for r in meta_blocking_pairs(
+                 blocks.repartition(3), max_block=100).collect()}
+    assert base == again

@@ -185,6 +185,33 @@ def main():
                    "Window" in p10
                    and "Exchange SinglePartition" not in p10))
 
+    # 11. exact set-similarity join: every join in the prefix-filter
+    #     chain is an equi join (prefix shingle / (doc, shingle));
+    #     the overlap aggregation combines map-side
+    from semlink.datapipe.dedup import setsim_join_pairs
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("doc_id", "text")
+    p11 = formatted(setsim_join_pairs(docs, t_num=4, t_den=5))
+    sections["exact set-similarity join (PPJoin prefix filter)"] = p11
+    checks.append(("setsim joins are all equi (no cartesian / NLJ)",
+                   "CartesianProduct" not in p11
+                   and "BroadcastNestedLoopJoin" not in p11))
+    checks.append(("setsim overlap agg has map-side partial combine",
+                   "partial_count" in p11))
+
+    # 12. meta-blocking: the co-block pair join is an equi join on the
+    #     block key; the only non-equi joins are the sanctioned 1-row
+    #     broadcasts (|B| total and the mean-weight sufficient stats)
+    from semlink.linkeval import meta_blocking_pairs
+    from semlink.queries.linkeval import _mb_blocks
+    p12 = formatted(meta_blocking_pairs(_mb_blocks(recs)))
+    sections["meta-blocking (CBS/ECBS weights + WEP)"] = p12
+    checks.append(("meta-blocking pair join is equi on bkey, "
+                   "no cartesian",
+                   "CartesianProduct" not in p12 and "bkey" in p12))
+    checks.append(("meta-blocking CBS agg has map-side partial combine",
+                   "partial_count" in p12))
+
     out = ["# PLANS — physical plan audit\n",
            "Generated by tools/explain_audit.py. Checks:\n"]
     ok = True
