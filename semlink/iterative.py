@@ -1,0 +1,121 @@
+"""Iterative merge-rematch entity resolution.
+
+The single-pass pipeline (block → score → cluster) misses matches a
+MERGED entity would expose: once a cluster's records fuse into one
+golden representative, that representative can enter blocks none of
+its raw members reached, and its survivor field values can clear
+match thresholds raw corrupted members could not. Running
+match-then-merge to a fixed point is the classic R-Swoosh recipe
+(Benjelloun, Garcia-Molina et al., "Swoosh: a generic approach to
+entity resolution", VLDB Journal 2009; distributed D-Swoosh); staged
+re-blocking over representatives is also how large deployments
+escalate schemes cheaply — iteration k runs over ONE record per
+current cluster, a set that only shrinks as merging proceeds.
+
+Scale shape per iteration (everything reuses audited primitives):
+
+- representatives: ``cluster.golden_records`` — groupBy aggregates +
+  per-cluster rank-1 windows, all keyed on the cluster id;
+- candidate pairs: ``linkeval.block_pairs`` — pure equi join on the
+  iteration's blocking key over the (shrinking) representative set;
+- merging: the surviving pairs form a CLUSTER-level graph fed to the
+  checkpointed large/small-star ``run_connected_components``; the new
+  labels compose with the running assignment by one key join.
+
+The per-iteration assignment table is checkpointed behind the same
+``_SUCCESS``-gated TableIO commit as the CC supersteps, so a killed
+job resumes from the last committed iteration (``resume=True``) and
+replays nothing before it. Convergence = an iteration contributing
+zero merge edges (checked on the bounded per-iteration edge count);
+the scheme list bounds the iteration count either way.
+
+The reference mount is empty (SURVEY.md §0); the capability contract
+is BASELINE.json's blocking + pairwise-scoring + transitive-
+clustering pipeline, of which this is the published iterative
+closure.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import golden_records, run_connected_components
+from .config import SemlinkConfig
+from .io import TableIO
+from .linkeval import block_pairs
+
+_PAD = 12  # zero-pad width for numeric-id ↔ CC string-label round-trip
+
+
+def _fmt(c: Column) -> Column:
+    """Non-negative bigint id → fixed-width string: the CC min-label
+    (lexicographic) equals the numeric min after padding."""
+    return F.lpad(c.cast("string"), _PAD, "0")
+
+
+def merge_rematch(recs: DataFrame,
+                  schemes: Sequence[Callable[[DataFrame], Column]],
+                  match_cond: Callable[[DataFrame], Column],
+                  carry_cols: Sequence[str],
+                  shortest_cols: tuple = (), mode_cols: tuple = (),
+                  max_cols: tuple = (),
+                  rec_id_col: str = "rec_id",
+                  cfg: SemlinkConfig | None = None,
+                  ckpt_dir: str | None = None,
+                  resume: bool = False) -> DataFrame:
+    """Run match-then-merge over ``schemes`` (one blocking scheme per
+    iteration) and return the final (rec_id, cluster_id) assignment,
+    cluster_id = min member rec_id.
+
+    ``schemes[i]`` maps the representative table to that iteration's
+    blocking-key column; ``match_cond`` sees the ``block_pairs``
+    output (carry columns suffixed _l/_r) and returns the merge
+    predicate. The survivor rules (shortest/mode/max) define the
+    representative exactly as :func:`cluster.golden_records` — on a
+    singleton cluster every rule is the identity, so iteration 0 over
+    fresh ids compares the raw records themselves.
+    """
+    cfg = cfg or SemlinkConfig()
+    ckpt = ckpt_dir or cfg.checkpoint_dir
+    io = TableIO(fmt=cfg.table_format, root=ckpt)
+    spark = recs.sparkSession
+    if not resume and os.path.isdir(ckpt) and io.fmt == "parquet":
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    assign = recs.select(F.col(rec_id_col),
+                         F.col(rec_id_col).alias("cluster_id"))
+    for i, scheme in enumerate(schemes):
+        if resume and io.exists(spark, f"assign_iter_{i}"):
+            assign = io.read(spark, f"assign_iter_{i}")
+            continue
+        reps = golden_records(
+            recs.join(assign, rec_id_col), "cluster_id",
+            shortest_cols=shortest_cols, mode_cols=mode_cols,
+            max_cols=max_cols, rec_id_col=rec_id_col)
+        keyed = reps.withColumn("_mbk", scheme(reps))
+        pairs = block_pairs(keyed, "_mbk", rec_id_col="cluster_id",
+                            carry_cols=tuple(carry_cols))
+        edges = (pairs.filter(match_cond(pairs))
+                 .select(_fmt(F.col("rec_l")).alias("src"),
+                         _fmt(F.col("rec_r")).alias("dst")))
+        # bounded action: the cluster-graph edge count only — the
+        # convergence signal, never the pair table itself
+        if edges.limit(1).count() == 0:
+            assign = io.checkpoint(assign, f"assign_iter_{i}")
+            continue
+        labels = run_connected_components(
+            edges, cfg, ckpt_dir=os.path.join(ckpt, f"cc_iter_{i}"))
+        relabel = labels.select(
+            F.col("mention_id").cast("bigint").alias("cluster_id"),
+            F.col("cluster_id").cast("bigint").alias("_new"))
+        assign = (assign.join(relabel, "cluster_id", "left")
+                  .select(F.col(rec_id_col),
+                          F.coalesce("_new", "cluster_id")
+                          .alias("cluster_id")))
+        # _SUCCESS-gated commit: the resume point for this iteration
+        assign = io.checkpoint(assign, f"assign_iter_{i}")
+    return assign

@@ -346,6 +346,104 @@ def rl_blocking_quality(spark, sf_dir):
 rl_blocking_quality.__doc__ = rl_blocking_quality.__doc__.format(w=_SNM_W)
 
 
+# Merge-rematch constants — shared verbatim with the oracle.
+_MR_LEV = 2          # name-agreement edit distance
+_MR_BAL = 100        # balance-agreement absolute difference (cents)
+
+_MR_RULE = f"""(CASE WHEN levenshtein(l.name, r.name) <= {_MR_LEV}
+                 THEN 1 ELSE 0 END
+          + CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END
+          + CASE WHEN abs(l.bal_cents - r.bal_cents) <= {_MR_BAL}
+                 THEN 1 ELSE 0 END) >= 2"""
+
+
+def _mr_match(p):
+    """2-of-3 field agreement (name lev<={lev}, segment equality,
+    balance within {bal} cents) — the Spark mirror of _MR_RULE."""
+    return ((F.levenshtein("name_l", "name_r") <= _MR_LEV).cast("int")
+            + (F.col("seg_l") == F.col("seg_r")).cast("int")
+            + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r"))
+               <= _MR_BAL).cast("int")) >= 2
+
+
+_mr_match.__doc__ = _mr_match.__doc__.format(lev=_MR_LEV, bal=_MR_BAL)
+
+
+@q("rl_merge_rematch", f"""
+  {_RECS_SQL.replace("WITH base", "WITH RECURSIVE base", 1)},
+  p1 AS (
+    SELECT l.rec_id AS a, r.rec_id AS b
+    FROM recs l JOIN recs r
+      ON l.nat = r.nat AND l.rec_id < r.rec_id
+    WHERE {_MR_RULE}),
+  sym1 AS (SELECT a AS s, b AS d FROM p1 UNION SELECT b, a FROM p1
+           UNION SELECT a, a FROM p1 UNION SELECT b, b FROM p1),
+  reach1(x, y) AS (
+    SELECT s, d FROM sym1
+    UNION
+    SELECT r.x, s.d FROM reach1 r JOIN sym1 s ON r.y = s.s),
+  lab1 AS (SELECT x AS rec_id, min(y) AS c1 FROM reach1 GROUP BY x),
+  asg1 AS (SELECT r.rec_id, coalesce(l.c1, r.rec_id) AS c1
+           FROM recs r LEFT JOIN lab1 l USING (rec_id)),
+  m AS (SELECT a.rec_id, a.name, a.seg, a.bal_cents, s.c1
+        FROM recs a JOIN asg1 s USING (rec_id)),
+  rep_name AS (SELECT c1, name FROM (
+    SELECT c1, name, row_number() OVER (PARTITION BY c1
+        ORDER BY length(name), name, rec_id) AS rk FROM m) WHERE rk = 1),
+  rep_seg AS (SELECT c1, seg FROM (
+    SELECT c1, seg, row_number() OVER (PARTITION BY c1
+        ORDER BY c DESC, seg) AS rk
+    FROM (SELECT c1, seg, CAST(count(*) AS BIGINT) AS c
+          FROM m GROUP BY c1, seg)) WHERE rk = 1),
+  rep_bal AS (SELECT c1, CAST(max(bal_cents) AS BIGINT) AS bal_cents
+              FROM m GROUP BY c1),
+  reps AS (SELECT n.c1, n.name, s.seg, b.bal_cents
+           FROM rep_name n
+           JOIN rep_seg s USING (c1) JOIN rep_bal b USING (c1)),
+  p2 AS (
+    SELECT l.c1 AS a, r.c1 AS b
+    FROM reps l JOIN reps r
+      ON right(l.name, 4) = right(r.name, 4) AND l.c1 < r.c1
+    WHERE {_MR_RULE}),
+  sym2 AS (SELECT a AS s, b AS d FROM p2 UNION SELECT b, a FROM p2
+           UNION SELECT a, a FROM p2 UNION SELECT b, b FROM p2),
+  reach2(x, y) AS (
+    SELECT s, d FROM sym2
+    UNION
+    SELECT r.x, s.d FROM reach2 r JOIN sym2 s ON r.y = s.s),
+  lab2 AS (SELECT x AS c1, min(y) AS c2 FROM reach2 GROUP BY x)
+  SELECT a.rec_id, CAST(coalesce(l.c2, a.c1) AS BIGINT) AS cluster_id
+  FROM asg1 a LEFT JOIN lab2 l USING (c1)
+""")
+def rl_merge_rematch(spark, sf_dir):
+    """Iterative merge-rematch ER (R-Swoosh closure, Benjelloun '09)
+    on the planted-duplicate benchmark, two scheme-escalating
+    iterations: (1) block raw records by nation, merge 2-of-3 field
+    agreements via checkpointed CC; (2) build golden REPRESENTATIVES
+    of the merged clusters (survivorship rules) and re-block them by
+    the name 4-char suffix — which recovers exactly the ZZZ-prefixed
+    duplicates whose nation key was also corrupted (both escape
+    iteration 1; the suffix survives the prefix corruption). The
+    oracle unrolls both iterations: blocking, the match rule, two
+    recursive-CTE connected components, the survivor picks and the
+    label composition, all hash-exact; pytest separately pins that
+    iteration 2 finds pairs iteration 1 cannot, that a third pass
+    adds nothing (fixed point), and that a killed run resumes from
+    the committed per-iteration assignment."""
+    import tempfile
+    from ..iterative import merge_rematch
+    recs = _records(spark, sf_dir)
+    return merge_rematch(
+        recs,
+        schemes=[lambda df: F.col("nat").cast("string"),
+                 lambda df: F.expr("right(name, 4)")],
+        match_cond=_mr_match,
+        carry_cols=("name", "seg", "bal_cents"),
+        shortest_cols=("name",), mode_cols=("seg", "nat"),
+        max_cols=("bal_cents",),
+        ckpt_dir=tempfile.mkdtemp(prefix="semlink_mr_"))
+
+
 # Meta-blocking scheme constants — shared verbatim with the oracle.
 # Four redundancy-positive schemes with different corruption escape
 # routes: nation (corrupted at ck%11), segment (ck%7, and purged at

@@ -277,3 +277,85 @@ def test_meta_blocking_kept_flag_deterministic(spark):
              for r in meta_blocking_pairs(
                  blocks.repartition(3), max_block=100).collect()}
     assert base == again
+
+
+# ----------------------------------------------------- merge-rematch
+
+def _mr_fixture(spark):
+    """A (base), B (ZZZ-name dup of A, same nat), C (different nat):
+    C agrees with the MERGED {A,B} representative on 2 of 3 fields
+    (name from A, balance from B) but with NEITHER raw record — the
+    Swoosh merge-dependence case."""
+    rows = [(1, "Customer#000000005", "AUTO", 0, 7),
+            (2, "ZZZCustomer#000000005", "AUTO", 100, 7),
+            (3, "Customer#000000005XX", "CORRUPT", 200, 9),
+            (4, "Customer#000000333", "RAIL", 90000, 3)]
+    return spark.createDataFrame(
+        rows, "rec_id long, name string, seg string, bal_cents long,"
+        " nat long")
+
+
+def _mr_run(spark, recs, schemes, tmp_path, name, resume=False):
+    from semlink.iterative import merge_rematch
+    from semlink.queries.linkeval import _mr_match
+    return merge_rematch(
+        recs, schemes=schemes, match_cond=_mr_match,
+        carry_cols=("name", "seg", "bal_cents"),
+        shortest_cols=("name",), mode_cols=("seg", "nat"),
+        max_cols=("bal_cents",),
+        ckpt_dir=str(tmp_path / name), resume=resume)
+
+
+def test_merge_rematch_merge_dependence(spark, tmp_path):
+    """C matches the merged representative (shortest name from A, max
+    balance from B) but no raw record: the iterative closure clusters
+    {A, B, C} while a single pass over the SAME schemes and rule —
+    blocking raw records — cannot, because C-vs-A fails on balance
+    and C-vs-B fails on name. This is the property that makes
+    merge-rematch an operator and not a scheme union."""
+    from semlink.linkeval import block_pairs
+    from semlink.queries.linkeval import _mr_match
+    recs = _mr_fixture(spark)
+    schemes = [lambda df: F.col("nat").cast("string"),
+               lambda df: F.lit("all")]
+    out = {r.rec_id: r.cluster_id
+           for r in _mr_run(spark, recs, schemes, tmp_path, "mr1").collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
+    # single-pass control: same rule over raw records in ONE block
+    raw = block_pairs(recs.withColumn("_bk", F.lit("all")), "_bk",
+                      carry_cols=("name", "seg", "bal_cents"))
+    direct = {(r.rec_l, r.rec_r) for r in raw.filter(_mr_match(raw)).collect()}
+    assert (1, 2) in direct          # A-B is a direct match
+    assert (1, 3) not in direct      # C matches neither raw record
+    assert (2, 3) not in direct
+
+
+def test_merge_rematch_fixed_point(spark, tmp_path):
+    """Re-running the final scheme a third time adds no edges and
+    leaves the assignment unchanged (converged)."""
+    recs = _mr_fixture(spark)
+    s2 = lambda df: F.lit("all")  # noqa: E731
+    schemes = [lambda df: F.col("nat").cast("string"), s2]
+    two = sorted(_mr_run(spark, recs, schemes, tmp_path, "fp2").collect())
+    three = sorted(_mr_run(spark, recs, schemes + [s2], tmp_path,
+                           "fp3").collect())
+    assert two == three
+
+
+def test_merge_rematch_resume_from_committed_iteration(spark, tmp_path):
+    """A run that only committed iteration 0 resumes into the full
+    scheme list without recomputing it, and the result is identical
+    to a fresh full run."""
+    recs = _mr_fixture(spark)
+    s1 = lambda df: F.col("nat").cast("string")  # noqa: E731
+    s2 = lambda df: F.lit("all")                 # noqa: E731
+    full = sorted(_mr_run(spark, recs, [s1, s2], tmp_path,
+                          "rs_full").collect())
+    _mr_run(spark, recs, [s1], tmp_path, "rs_part")      # commits iter 0
+    resumed = sorted(_mr_run(spark, recs, [s1, s2], tmp_path, "rs_part",
+                             resume=True).collect())
+    assert resumed == full
+    import os
+    assert os.path.exists(
+        str(tmp_path / "rs_part" / "assign_iter_1.parquet" / "_SUCCESS"))
