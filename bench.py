@@ -50,7 +50,7 @@ HEADLINE = [
     "text_corpus_filter", "ann_embed_text", "media_jpeg",
     "rl_fellegi_sunter", "rl_blocking_quality",
     "rl_cluster_metrics", "rl_golden_record",
-    "rl_meta_blocking", "dedup_setsim_join",
+    "rl_meta_blocking", "dedup_setsim_join", "rl_cluster_review",
     "agg_pricing_summary",
 ]
 
@@ -66,7 +66,8 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "ann_embed_text", "media_jpeg",
                "rl_fellegi_sunter", "rl_blocking_quality",
                "rl_cluster_metrics", "rl_golden_record",
-               "rl_meta_blocking", "dedup_setsim_join"]
+               "rl_meta_blocking", "dedup_setsim_join",
+               "rl_cluster_review"]
 
 
 def ensure_bench_fixture(spark) -> str:

@@ -360,6 +360,61 @@ def bcubed(assign: DataFrame, pred_col: str = "cluster_id",
            .otherwise(F.lit(2.0) * bp * br / (bp + br))).alias("b3f16"))
 
 
+def cluster_review(assign: DataFrame, scored_pairs: DataFrame,
+                   cluster_col: str = "cluster_id",
+                   id_col: str = "rec_id",
+                   score_col: str = "score",
+                   min_score: int = 2) -> DataFrame:
+    """Post-resolution cluster QUALITY REVIEW — the audit stage that
+    flags clusters a human (or a repair pass) should look at before
+    the merge is trusted (Christen 2012 ch. 6-7: transitive closure
+    chains records whose pairwise evidence was never checked).
+
+    Per cluster, from one pair-side join + two keyed aggregations:
+
+    - ``n_members`` and the implied ``n_possible`` = C(n, 2);
+    - ``n_scored``: within-cluster pairs that actually appear in the
+      scored pair table — a SHORTFALL means the cluster was merged
+      through transitivity across blocking gaps, never compared
+      directly (the classic chaining artifact);
+    - ``min_score`` / ``mean_score6``: the weakest and average direct
+      evidence (integer min / BIGINT sum, one IEEE divide for the
+      scaled mean — bit-deterministic under any partitioning);
+    - ``needs_review``: multi-member AND (coverage shortfall OR a
+      pair below ``min_score``).
+
+    Scale shape: the pair table joins the assignment twice on the
+    record id (broadcast or shuffle as AQE decides), then everything
+    keys on the cluster id — no window, no driver materialization."""
+    a_l = assign.select(F.col(id_col).alias("rec_l"),
+                        F.col(cluster_col).alias("_cl"))
+    a_r = assign.select(F.col(id_col).alias("rec_r"),
+                        F.col(cluster_col).alias("_cr"))
+    within = (scored_pairs
+              .join(a_l, "rec_l").join(a_r, "rec_r")
+              .filter(F.col("_cl") == F.col("_cr"))
+              .groupBy(F.col("_cl").alias(cluster_col))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+                   F.min(score_col).cast("bigint").alias("min_score"),
+                   F.sum(score_col).cast("bigint").alias("_sum")))
+    sizes = assign.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    j = sizes.join(within, cluster_col, "left")
+    n_possible = F.expr("(n_members * (n_members - 1)) div 2") \
+        .cast("bigint")
+    ns = F.coalesce(F.col("n_scored"), F.lit(0))
+    return j.select(
+        cluster_col, "n_members", n_possible.alias("n_possible"),
+        ns.cast("bigint").alias("n_scored"),
+        "min_score",
+        F.round(F.col("_sum").cast("double") / ns * 1_000_000)
+        .cast("bigint").alias("mean_score6"),
+        ((F.col("n_members") > 1)
+         & ((ns < n_possible)
+            | (F.coalesce(F.col("min_score"), F.lit(min_score - 1))
+               < min_score))).alias("needs_review"))
+
+
 def golden_records(recs: DataFrame, cluster_col: str,
                    shortest_cols: tuple = (), mode_cols: tuple = (),
                    max_cols: tuple = (),

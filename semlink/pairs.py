@@ -37,6 +37,38 @@ def levenshtein_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(levenshtein_batch(a, b).astype("float64"))
 
 
+def monge_elkan(pairs: "DataFrame", a_col: str = "a", b_col: str = "b",
+                out_col: str = "me6") -> "DataFrame":
+    """Directed Monge-Elkan similarity ME(a→b) = mean over a's token
+    OCCURRENCES of the best Jaro-Winkler match among b's tokens
+    (Monge & Elkan, KDD 1996) — the standard hybrid token/edit
+    similarity for multi-word names in record linkage.
+
+    Returns one row per input pair: (a, b, out_col) with the
+    scaled-bigint convention. Determinism: the per-token-pair JW goes
+    through round(x*1e6)::bigint BEFORE any aggregation, so the
+    cross-token max and the occurrence sum are exact BIGINT ops under
+    any partitioning; the single mean divide is one IEEE op mirrored
+    by the oracle. Shape: two sequential explodes (bounded by token
+    counts, never a relational cartesian), ONE Arrow-batched JW
+    kernel pass, two map-side-combined groupBys keyed on the pair."""
+    toks = lambda c: F.array_remove(  # noqa: E731
+        F.split(F.trim(F.col(c)), r" +"), "")
+    t = (pairs.select(a_col, b_col,
+                      F.posexplode(toks(a_col)).alias("_pa", "_ta"))
+         .select(a_col, b_col, "_pa", "_ta",
+                 F.explode(toks(b_col)).alias("_tb")))
+    jw6 = F.round(jaro_winkler_udf(F.col("_ta"), F.col("_tb"))
+                  * 1_000_000).cast("bigint")
+    best = (t.withColumn("_jw6", jw6)
+            .groupBy(a_col, b_col, "_pa")
+            .agg(F.max("_jw6").alias("_mx")))
+    return (best.groupBy(a_col, b_col)
+            .agg(F.round(F.sum("_mx").cast("double")
+                         / F.count(F.lit(1)))
+                 .cast("bigint").alias(out_col)))
+
+
 @F.pandas_udf(DoubleType())
 def pair_score_udf(ngram_l: pd.Series, ngram_r: pd.Series,
                    same_sense: pd.Series, prior_l: pd.Series,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..cluster import clustering_agreement, golden_records
+from ..cluster import cluster_review, clustering_agreement, golden_records
 from ..linkeval import (EM_EPS, EM_INIT, EM_ITERS, block_pairs,
                         blocking_quality, em_patterns, fs_em_fit,
                         fs_em_posterior_expr, fs_score,
@@ -344,6 +344,56 @@ def rl_blocking_quality(spark, sf_dir):
 
 
 rl_blocking_quality.__doc__ = rl_blocking_quality.__doc__.format(w=_SNM_W)
+
+
+@q("rl_cluster_review", f"""
+  {_RECS_SQL},
+  {_LAB_SQL},
+  sp AS (SELECT rec_l, rec_r,
+                CAST(f_name + f_seg + f_bal AS BIGINT) AS score
+         FROM lab),
+  asg AS (SELECT rec_id, ent_id AS cluster_id FROM recs),
+  w AS (SELECT a.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(min(s.score) AS BIGINT) AS min_score,
+               CAST(sum(s.score) AS BIGINT) AS ssum
+        FROM sp s
+        JOIN asg a ON a.rec_id = s.rec_l
+        JOIN asg b ON b.rec_id = s.rec_r
+                  AND b.cluster_id = a.cluster_id
+        GROUP BY 1),
+  sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         FROM asg GROUP BY 1)
+  SELECT z.cluster_id, z.n_members,
+         CAST((z.n_members * (z.n_members - 1)) // 2 AS BIGINT)
+           AS n_possible,
+         CAST(coalesce(w.n_scored, 0) AS BIGINT) AS n_scored,
+         w.min_score,
+         CAST(ROUND(CAST(w.ssum AS DOUBLE) / coalesce(w.n_scored, 0)
+                    * 1000000) AS BIGINT) AS mean_score6,
+         (z.n_members > 1
+          AND (coalesce(w.n_scored, 0)
+                 < (z.n_members * (z.n_members - 1)) // 2
+               OR coalesce(w.min_score, 1) < 2)) AS needs_review
+  FROM sz z LEFT JOIN w USING (cluster_id)
+""")
+def rl_cluster_review(spark, sf_dir):
+    """Post-resolution cluster quality review (cluster.cluster_review)
+    of the by-construction entity clusters against the blocked scored
+    pairs (score = number of agreeing comparison fields): clusters
+    whose duplicate escaped the nation block surface as a COVERAGE
+    shortfall (n_scored < C(n,2) — merged on evidence never compared
+    directly), and clusters merged on weak agreement surface through
+    min_score. Registry + pytest + oracle-verified on demand; demoted
+    from the driver window (the 49 oracle slots are full — see
+    __spark_entry__)."""
+    recs, lab = _labeled_pairs(spark, sf_dir)
+    sp = lab.select(
+        "rec_l", "rec_r",
+        (F.col("f_name") + F.col("f_seg") + F.col("f_bal"))
+        .cast("bigint").alias("score"))
+    assign = recs.select("rec_id", F.col("ent_id").alias("cluster_id"))
+    return cluster_review(assign, sp, min_score=2)
 
 
 # Merge-rematch constants — shared verbatim with the oracle.

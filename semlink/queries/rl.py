@@ -231,23 +231,61 @@ def rl_connected_components(spark, sf_dir):
 # one hash-gated row set; the originals stay registered (demoted from
 # the driver contract in __spark_entry__) for bench/tests.
 
+_ME_TOKS = "list_filter(string_split_regex(trim({c}), ' +'), x -> x <> '')"
+_ME_DIR_SQL = """
+  pa_{d} AS (SELECT a, b, la,
+                    unnest(generate_series(1, len(la))) AS pa
+             FROM (SELECT a, b, {la} AS la FROM prs)),
+  tb_{d} AS (SELECT a, b, pa, la[pa] AS ta,
+                    unnest({lb}) AS tb
+             FROM pa_{d}),
+  mx_{d} AS (SELECT a, b, pa,
+                    max(CAST(ROUND(jaro_winkler_similarity(ta, tb)
+                             * 1000000) AS BIGINT)) AS mx
+             FROM tb_{d} GROUP BY 1, 2, 3),
+  me_{d} AS (SELECT a, b,
+                    CAST(ROUND(CAST(CAST(sum(mx) AS BIGINT) AS DOUBLE)
+                               / count(*)) AS BIGINT) AS me_{d}6
+             FROM mx_{d} GROUP BY 1, 2)"""
+
+
 @q("rl_string_sims", f"""
-  SELECT DISTINCT p_brand AS a, p_type AS b,
-         levenshtein(p_brand, p_type) AS lev,
-         CAST(ROUND(jaro_winkler_similarity(p_brand, p_type) * {SCALE})
-              AS BIGINT) AS jw6
-  FROM part
+  WITH prs AS (SELECT DISTINCT p_type AS a, p_name AS b FROM part),
+  {_ME_DIR_SQL.format(d="ab", la=_ME_TOKS.format(c="a"),
+                      lb=_ME_TOKS.format(c="b"))},
+  {_ME_DIR_SQL.format(d="ba", la=_ME_TOKS.format(c="b"),
+                      lb=_ME_TOKS.format(c="a"))}
+  SELECT p.a, p.b,
+         levenshtein(p.a, p.b) AS lev,
+         CAST(ROUND(jaro_winkler_similarity(p.a, p.b) * {SCALE})
+              AS BIGINT) AS jw6,
+         x.me_ab6, y.me_ba6
+  FROM prs p
+  JOIN me_ab x USING (a, b)
+  JOIN me_ba y USING (a, b)
 """)
 def rl_string_sims(spark, sf_dir):
-    """X3 + X4 in one entry: builtin Levenshtein and the batched-numpy
-    Jaro-Winkler kernel over the same distinct string pairs
-    (consolidates rl_levenshtein + rl_jaro_winkler)."""
-    from ..pairs import jaro_winkler_udf
+    """X3 + X4 + Monge-Elkan in one entry: builtin Levenshtein, the
+    batched-numpy Jaro-Winkler kernel, and BOTH directed Monge-Elkan
+    hybrid similarities (mean-over-tokens of best token JW, Monge &
+    Elkan KDD '96 — pairs.monge_elkan) over the distinct multi-token
+    (p_type, p_name) pairs. Per-token-pair JW is scaled to
+    BIGINT before the max/mean, so only the final mean divide is a
+    float op (consolidates rl_levenshtein + rl_jaro_winkler)."""
+    from ..pairs import jaro_winkler_udf, monge_elkan
     p = _read(spark, sf_dir, "part")
-    return (p.select(F.col("p_brand").alias("a"), F.col("p_type").alias("b"))
-            .distinct()
+    prs = (p.select(F.col("p_type").alias("a"),
+                    F.col("p_name").alias("b")).distinct())
+    base = (prs
             .withColumn("lev", F.levenshtein("a", "b").cast("bigint"))
             .withColumn("jw6", _r6(jaro_winkler_udf(F.col("a"), F.col("b")))))
+    me_ab = monge_elkan(prs, "a", "b", "me_ab6")
+    me_ba = (monge_elkan(prs.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")),
+                         "a", "b", "me_ba6")
+             .select(F.col("b").alias("a"), F.col("a").alias("b"),
+                     "me_ba6"))
+    return base.join(me_ab, ["a", "b"]).join(me_ba, ["a", "b"])
 
 
 @q("rl_dict_stats", f"""

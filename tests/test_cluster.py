@@ -249,3 +249,52 @@ def test_golden_records_mode_tie_breaks_by_value(spark):
         [(1, 10, "Z"), (2, 10, "A")], "rec_id long, ent_id long, seg string")
     g = golden_records(recs, "ent_id", mode_cols=("seg",)).collect()[0]
     assert g.seg == "A" and g.n_members == 2
+
+
+def test_cluster_review_exact_hand_mirror(spark):
+    """Coverage shortfall, weak-evidence min, singleton exemption and
+    the integer-exact mean on a planted frame."""
+    from semlink.cluster import cluster_review
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10),      # triangle cluster, one pair missing
+         (4, 40), (5, 40),               # pair cluster, weak score
+         (6, 60),                        # singleton
+         (7, 70), (8, 70)],              # pair cluster, full + strong
+        "rec_id long, cluster_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 2),           # (1,3) never scored
+         (4, 5, 1),                      # below min_score=2
+         (7, 8, 3),
+         (1, 7, 3)],                     # cross-cluster: ignored
+        "rec_l long, rec_r long, score long")
+    got = {r.cluster_id: r.asDict()
+           for r in cluster_review(assign, pairs, min_score=2).collect()}
+    t = got[10]
+    assert (t["n_members"], t["n_possible"], t["n_scored"]) == (3, 3, 2)
+    assert t["min_score"] == 2 and t["needs_review"]        # coverage gap
+    assert t["mean_score6"] == round((3 + 2) / 2 * 1e6)
+    w = got[40]
+    assert w["min_score"] == 1 and w["needs_review"]        # weak evidence
+    s = got[60]
+    assert s["n_members"] == 1 and not s["needs_review"]
+    assert s["min_score"] is None and s["mean_score6"] is None
+    g = got[70]
+    assert not g["needs_review"] and g["mean_score6"] == 3_000_000
+
+
+def test_cluster_review_flags_blocking_escapees(spark):
+    """On the planted benchmark every nation-corrupted duplicate's
+    entity (ck % 11 == 0 among duplicated ck % 3 == 0) must be
+    flagged: its true pair escaped the nation block, so the cluster
+    was never directly compared — the coverage-shortfall signal."""
+    from semlink.queries.linkeval import rl_cluster_review
+    rows = {r.cluster_id: r for r in
+            rl_cluster_review(spark, "/root/testdata/sf0.001").collect()}
+    escaped = [ck for ck in range(1, 151)
+               if ck % 3 == 0 and ck % 11 == 0]
+    assert escaped
+    for ck in escaped:
+        assert rows[ck].needs_review, ck
+        assert rows[ck].n_scored < rows[ck].n_possible, ck
+    flagged = sum(1 for r in rows.values() if r.needs_review)
+    assert 0 < flagged < len(rows)

@@ -60,3 +60,30 @@ def test_edge_cases():
     assert jw[0] == 0.0 and jw[1] == 0.0 and jw[2] == 0.0 and jw[3] == 1.0
     assert abs(jw[4] - 0.9611111111) < 1e-6          # classic MARTHA/MARHTA
     assert abs(jw[5] - 0.8133333333) < 1e-6          # classic DIXON/DICKSONX
+
+
+def test_monge_elkan_exact_mirror(spark):
+    """ME(a→b) equals the hand-computed mean-of-best-token-JW, with
+    per-token-pair scaling BEFORE aggregation and duplicate token
+    OCCURRENCES each counted (posexplode, not distinct)."""
+    import pandas as pd
+    from semlink.metrics_udf import jaro_winkler_batch
+    from semlink.pairs import monge_elkan
+
+    rows = [("martha jones", "marhta jhones"),
+            ("x x y", "x"),
+            ("alpha beta gamma", "beta gamma delta")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {(r.a, r.b): r.me6 for r in monge_elkan(df).collect()}
+
+    def jw6(x, y):
+        return round(float(jaro_winkler_batch(
+            pd.Series([x]), pd.Series([y]))[0]) * 1e6)
+
+    for a, b in rows:
+        ta = [t for t in a.split() if t]
+        tb = [t for t in b.split() if t]
+        best = [max(jw6(x, y) for y in tb) for x in ta]
+        want = round(sum(best) / len(best))
+        assert got[(a, b)] == want, (a, b)
+    assert got[("x x y", "x")] == round((1_000_000 * 2 + jw6("y", "x")) / 3)

@@ -212,6 +212,35 @@ def main():
     checks.append(("meta-blocking CBS agg has map-side partial combine",
                    "partial_count" in p12))
 
+    # 13. Monge-Elkan: exactly ONE Arrow-batched kernel pass feeds
+    #     both keyed aggregations — never a per-direction re-eval or a
+    #     row-wise BatchEvalPython
+    from semlink.pairs import monge_elkan
+    me_in = spark.createDataFrame(
+        [("alpha beta", "beta gamma")], "a string, b string")
+    p13 = formatted(monge_elkan(me_in))
+    sections["Monge-Elkan similarity (X11)"] = p13
+    # formatted explain prints each node twice (tree + detail); the
+    # tree form is "ArrowEvalPython (<id>)"
+    checks.append(("Monge-Elkan runs one ArrowEvalPython, no "
+                   "BatchEvalPython",
+                   p13.count("ArrowEvalPython (") == 1
+                   and "BatchEvalPython" not in p13))
+
+    # 14. cluster review: aggregations key on the cluster id — no
+    #     SinglePartition exchange, map-side partial combine
+    from semlink.cluster import cluster_review
+    cr_assign = recs.select("rec_id", F.col("ent_id").alias("cluster_id"))
+    cr_pairs = recs.select(F.col("rec_id").alias("rec_l"),
+                           (F.col("rec_id") + 1).alias("rec_r"),
+                           F.lit(2).alias("score"))
+    p14 = formatted(cluster_review(cr_assign, cr_pairs))
+    sections["cluster quality review (C14)"] = p14
+    checks.append(("cluster review keys on cluster id, no "
+                   "SinglePartition exchange",
+                   "Exchange SinglePartition" not in p14
+                   and "partial_count" in p14))
+
     out = ["# PLANS — physical plan audit\n",
            "Generated by tools/explain_audit.py. Checks:\n"]
     ok = True
