@@ -40,7 +40,7 @@ import os
 import shutil
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .cluster import golden_records, run_connected_components
@@ -49,6 +49,67 @@ from .io import TableIO
 from .linkeval import block_pairs
 
 _PAD = 12  # zero-pad width for numeric-id ↔ CC string-label round-trip
+
+
+def incremental_link(new_recs: DataFrame, reps: DataFrame,
+                     scheme: Callable[[DataFrame], Column],
+                     match_cond: Callable[[DataFrame], Column],
+                     score_col: Column,
+                     carry_cols: Sequence[str],
+                     rec_id_col: str = "rec_id",
+                     cluster_col: str = "cluster_id") -> DataFrame:
+    """Incremental entity resolution: attach a NEW batch of records to
+    an EXISTING resolved population without re-running the full
+    pipeline — the standard production shape once the initial 10^12
+    backlog is clustered (Christen 2012 ch. 9; the add-record case of
+    incremental Swoosh).
+
+    Each new record blocks against the golden REPRESENTATIVES (one
+    row per existing cluster — the small side, broadcast or shuffled
+    as AQE decides) under ``scheme``; candidate pairs that clear
+    ``match_cond`` are ranked by (``score_col`` DESC, cluster id ASC)
+    per new record — a TOTAL order, so the assignment is
+    bit-deterministic — and rank 1 wins. Unmatched records mint their
+    own cluster (their record id), exactly the singleton convention
+    of the batch pipeline.
+
+    Intra-batch duplicates resolve through the existing population
+    (both copies hit the same representative); two new records
+    matching no representative but each other stay separate until the
+    next batch re-resolution — the documented incremental trade-off.
+
+    Returns (rec_id, cluster_id, matched, score) one row per new
+    record. Scale: ONE equi join on the blocking key + one window
+    keyed by the new record id; nothing driver-side."""
+    keyed_new = new_recs.select(
+        F.col(rec_id_col), scheme(new_recs).alias("_bk"),
+        *[F.col(c) for c in carry_cols])
+    keyed_reps = reps.select(
+        F.col(cluster_col), scheme(reps).alias("_bk"),
+        *[F.col(c) for c in carry_cols])
+    lft = keyed_new.select(
+        "_bk", F.col(rec_id_col),
+        *[F.col(c).alias(f"{c}_l") for c in carry_cols])
+    rgt = keyed_reps.select(
+        "_bk", F.col(cluster_col),
+        *[F.col(c).alias(f"{c}_r") for c in carry_cols])
+    joined = lft.join(rgt, "_bk")
+    matched = (joined.filter(match_cond(joined))
+               .withColumn("_sc", score_col)
+               .withColumn("_rk", F.row_number().over(
+                   Window.partitionBy(rec_id_col)
+                   .orderBy(F.desc("_sc"), F.asc(cluster_col))))
+               .filter(F.col("_rk") == 1)
+               .select(F.col(rec_id_col),
+                       F.col(cluster_col).alias("_assigned"),
+                       F.col("_sc").alias("score")))
+    return (new_recs.select(rec_id_col)
+            .join(matched, rec_id_col, "left")
+            .select(F.col(rec_id_col),
+                    F.coalesce("_assigned", F.col(rec_id_col))
+                    .alias(cluster_col),
+                    F.col("_assigned").isNotNull().alias("matched"),
+                    "score"))
 
 
 def _fmt(c: Column) -> Column:

@@ -494,6 +494,57 @@ def rl_merge_rematch(spark, sf_dir):
         ckpt_dir=tempfile.mkdtemp(prefix="semlink_mr_"))
 
 
+_MR_SCORE = f"""CAST((CASE WHEN levenshtein(l.name, r.name) <= {_MR_LEV}
+                 THEN 1 ELSE 0 END
+          + CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END
+          + CASE WHEN abs(l.bal_cents - r.bal_cents) <= {_MR_BAL}
+                 THEN 1 ELSE 0 END) AS BIGINT)"""
+
+
+@q("rl_incremental_link", f"""
+  {_RECS_SQL},
+  o AS (SELECT rec_id AS cluster_id, name, seg, bal_cents, nat
+        FROM recs WHERE rec_id % 2 = 0),
+  d AS (SELECT * FROM recs WHERE rec_id % 2 = 1),
+  cand AS (
+    SELECT l.rec_id, r.cluster_id, {_MR_SCORE} AS sc
+    FROM d l JOIN o r ON l.nat = r.nat
+    WHERE {_MR_RULE}),
+  rk AS (SELECT rec_id, cluster_id, sc,
+                row_number() OVER (PARTITION BY rec_id
+                                   ORDER BY sc DESC, cluster_id) AS rk
+         FROM cand)
+  SELECT d.rec_id,
+         CAST(coalesce(r.cluster_id, d.rec_id) AS BIGINT) AS cluster_id,
+         r.cluster_id IS NOT NULL AS matched,
+         r.sc AS score
+  FROM d LEFT JOIN (SELECT * FROM rk WHERE rk = 1) r USING (rec_id)
+""")
+def rl_incremental_link(spark, sf_dir):
+    """Incremental ER (iterative.incremental_link): the corrupted
+    duplicates arrive as a NEW batch against the already-resolved
+    originals (each its own cluster, representative = itself), block
+    on nation, apply the 2-of-3 match rule, and rank candidates by
+    (agreement score DESC, cluster id ASC) — rank 1 assigns, misses
+    mint singleton clusters. Registry + pytest + oracle verified on
+    demand; demoted from the full driver window (see
+    __spark_entry__)."""
+    from ..iterative import incremental_link
+    recs = _records(spark, sf_dir)
+    orig = recs.filter(F.col("rec_id") % 2 == 0)
+    new = recs.filter(F.col("rec_id") % 2 == 1)
+    reps = orig.select(F.col("rec_id").alias("cluster_id"),
+                       "name", "seg", "bal_cents", "nat")
+    score = ((F.levenshtein("name_l", "name_r") <= _MR_LEV).cast("int")
+             + (F.col("seg_l") == F.col("seg_r")).cast("int")
+             + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r"))
+                <= _MR_BAL).cast("int")).cast("bigint")
+    return incremental_link(
+        new, reps, scheme=lambda df: F.col("nat").cast("string"),
+        match_cond=_mr_match, score_col=score,
+        carry_cols=("name", "seg", "bal_cents"))
+
+
 # Meta-blocking scheme constants — shared verbatim with the oracle.
 # Four redundancy-positive schemes with different corruption escape
 # routes: nation (corrupted at ck%11), segment (ck%7, and purged at

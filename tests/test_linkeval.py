@@ -359,3 +359,67 @@ def test_merge_rematch_resume_from_committed_iteration(spark, tmp_path):
     import os
     assert os.path.exists(
         str(tmp_path / "rs_part" / "assign_iter_1.parquet" / "_SUCCESS"))
+
+
+# -------------------------------------------------- incremental link
+
+def test_incremental_link_best_match_and_singletons(spark):
+    """Rank-1 assignment: highest agreement score wins, score ties
+    break to the LOWER cluster id, blocked-but-unmatched and
+    out-of-block records mint their own singleton clusters."""
+    from semlink.iterative import incremental_link
+    from semlink.queries.linkeval import _mr_match
+    reps = spark.createDataFrame(
+        [(10, "Customer#000000010", "AUTO", 1000, 1),
+         (20, "Customer#000000010", "AUTO", 1090, 1),   # same score, higher id
+         (30, "Customer#000000777", "RAIL", 50000, 1),
+         (40, "Customer#000000040", "MAIL", 0, 2)],
+        "cluster_id long, name string, seg string, bal_cents long, nat long")
+    new = spark.createDataFrame(
+        [(101, "Customer#000000010", "AUTO", 1040, 1),  # ties 10 vs 20 on 3
+         (102, "ZZZCustomer#000000999", "FOB", 999999, 1),  # blocked, no match
+         (103, "Customer#000000040", "MAIL", 10, 9)],   # wrong block
+        "rec_id long, name string, seg string, bal_cents long, nat long")
+    score = ((F.levenshtein("name_l", "name_r") <= 2).cast("int")
+             + (F.col("seg_l") == F.col("seg_r")).cast("int")
+             + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r")) <= 100)
+             .cast("int")).cast("bigint")
+    out = {r.rec_id: r for r in incremental_link(
+        new, reps, scheme=lambda df: F.col("nat").cast("string"),
+        match_cond=_mr_match, score_col=score,
+        carry_cols=("name", "seg", "bal_cents")).collect()}
+    assert out[101].matched and out[101].cluster_id == 10    # tie -> lower id
+    assert out[101].score == 3
+    assert not out[102].matched and out[102].cluster_id == 102
+    assert out[102].score is None
+    assert not out[103].matched and out[103].cluster_id == 103
+
+
+def test_incremental_link_fixture_batch(spark):
+    """The corrupted-duplicate batch against the resolved originals:
+    every clean XX-duplicate (no seg/bal/nation corruption) lands on
+    its OWN original with full score; nation-corrupted duplicates
+    (ck % 11 == 0) never reach their own original (wrong block) —
+    they mint singletons or, realistically, false-match a block
+    neighbor on a partial score (< 3)."""
+    from semlink.queries.linkeval import rl_incremental_link
+    rows = {r.rec_id: r for r in
+            rl_incremental_link(spark, "/root/testdata/sf0.001").collect()}
+    assert rows      # the duplicate batch is non-empty
+    clean, escaped = 0, 0
+    for ck in range(150):
+        if ck % 3 != 0:
+            continue
+        r = rows[ck * 2 + 1]
+        if ck % 11 == 0:
+            escaped += 1
+            assert r.cluster_id != ck * 2, ck
+            if r.matched:
+                assert r.score < 3, ck
+        elif ck % 5 != 0 and ck % 7 != 0 and ck % 2 != 0:
+            clean += 1
+            assert r.matched and r.cluster_id == ck * 2, ck
+            assert r.score == 3
+    assert clean > 0 and escaped > 0
+    frac = sum(1 for r in rows.values() if r.matched) / len(rows)
+    assert frac > 0.6
