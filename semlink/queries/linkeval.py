@@ -545,6 +545,80 @@ def rl_incremental_link(spark, sf_dir):
         carry_cols=("name", "seg", "bal_cents"))
 
 
+_O2O_ROUNDS = 4   # oracle unroll bound; pytest pins convergence ≤ this
+
+
+def _o2o_oracle() -> str:
+    """Unrolled locally-dominant greedy matching, mirror of
+    iterative.greedy_one_to_one: each round accepts pairs that are
+    row_number 1 for BOTH endpoints under (score DESC, other-id ASC)
+    — the total order that makes iterated local dominance equal
+    sequential best-first greedy — then drops pairs touching an
+    accepted endpoint. Rounds past convergence run on empty sets and
+    contribute nothing, so a fixed unroll ≥ the true round count is
+    exact."""
+    parts = [f"""
+  {_RECS_SQL},
+  e0 AS (
+    SELECT l.rec_id AS rec_l, r.rec_id AS rec_r, {_MR_SCORE} AS score
+    FROM (SELECT * FROM recs WHERE rec_id % 2 = 1) l
+    JOIN (SELECT * FROM recs WHERE rec_id % 2 = 0) r ON l.nat = r.nat
+    WHERE {_MR_RULE})"""]
+    for i in range(1, _O2O_ROUNDS + 1):
+        p = i - 1
+        parts.append(f""",
+  a{i} AS (
+    SELECT rec_l, rec_r, score, CAST({i} AS INTEGER) AS rnd
+    FROM (SELECT *,
+            row_number() OVER (PARTITION BY rec_l
+                               ORDER BY score DESC, rec_r) AS rl,
+            row_number() OVER (PARTITION BY rec_r
+                               ORDER BY score DESC, rec_l) AS rr
+          FROM e{p})
+    WHERE rl = 1 AND rr = 1),
+  e{i} AS (
+    SELECT e.* FROM e{p} e
+    WHERE e.rec_l NOT IN (SELECT rec_l FROM a{i})
+      AND e.rec_r NOT IN (SELECT rec_r FROM a{i}))""")
+    parts.append("\n  " + "\n  UNION ALL ".join(
+        f"SELECT * FROM a{i}" for i in range(1, _O2O_ROUNDS + 1)))
+    return "".join(parts)
+
+
+@q("rl_one_to_one_greedy", _o2o_oracle())
+def rl_one_to_one_greedy(spark, sf_dir):
+    """One-to-one linkage (iterative.greedy_one_to_one): the
+    duplicate batch links against the originals under nation
+    blocking + the 2-of-3 rule, but each original can be claimed by
+    at most ONE duplicate and vice versa — exact distributed greedy
+    matching via locally-dominant pairs (Preis '99), the scalable
+    stand-in for Jaro 1989's LSAP assignment step. Registry +
+    pytest + oracle verified on demand; demoted from the full
+    driver window (see __spark_entry__)."""
+    from ..iterative import greedy_one_to_one
+    recs = _records(spark, sf_dir)
+    dup = recs.filter(F.col("rec_id") % 2 == 1)
+    orig = recs.filter(F.col("rec_id") % 2 == 0)
+    lft = dup.select("nat", F.col("rec_id").alias("rec_l"),
+                     F.col("name").alias("name_l"),
+                     F.col("seg").alias("seg_l"),
+                     F.col("bal_cents").alias("bal_cents_l"))
+    rgt = orig.select("nat", F.col("rec_id").alias("rec_r"),
+                      F.col("name").alias("name_r"),
+                      F.col("seg").alias("seg_r"),
+                      F.col("bal_cents").alias("bal_cents_r"))
+    cand = lft.join(rgt, "nat")
+    cand = cand.filter(_mr_match(cand)).withColumn(
+        "score",
+        ((F.levenshtein("name_l", "name_r") <= _MR_LEV).cast("int")
+         + (F.col("seg_l") == F.col("seg_r")).cast("int")
+         + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r"))
+            <= _MR_BAL).cast("int")).cast("bigint"))
+    return greedy_one_to_one(
+        cand.select("rec_l", "rec_r", "score"),
+        max_rounds=_O2O_ROUNDS)
+
+
 # Meta-blocking scheme constants — shared verbatim with the oracle.
 # Four redundancy-positive schemes with different corruption escape
 # routes: nation (corrupted at ck%11), segment (ck%7, and purged at

@@ -423,3 +423,69 @@ def test_incremental_link_fixture_batch(spark):
     assert clean > 0 and escaped > 0
     frac = sum(1 for r in rows.values() if r.matched) / len(rows)
     assert frac > 0.6
+
+
+# ---------------------------------------------- greedy one-to-one
+
+def test_greedy_one_to_one_descending_chain_rounds(spark):
+    """A descending bipartite score chain forces one acceptance per
+    round (the locally-dominant worst case): L1-R1(5) blocks
+    L2-R1(4), whose removal exposes L2-R2(3), and so on — verifying
+    the multi-round semantics AND that the result equals sequential
+    best-first greedy."""
+    from semlink.iterative import greedy_one_to_one
+    pairs = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 4), (2, 2, 3), (3, 2, 2), (3, 3, 1)],
+        "rec_l long, rec_r long, score long")
+    out = sorted((r.rec_l, r.rec_r, r.score, r.rnd)
+                 for r in greedy_one_to_one(pairs).collect())
+    assert out == [(1, 1, 5, 1), (2, 2, 3, 2), (3, 3, 1, 3)]
+
+
+def test_greedy_one_to_one_equals_sequential_greedy(spark):
+    """On md5-derived pseudo-random scores over a dense-ish bipartite
+    candidate set, the distributed locally-dominant matching equals
+    the sequential best-first greedy under the same total order
+    (score DESC, rec_l ASC, rec_r ASC) — including tie handling,
+    since md5 buckets collide at this range."""
+    import hashlib
+    from semlink.iterative import greedy_one_to_one
+    cand = []
+    for lid in range(40):
+        for rid in range(40):
+            h = int(hashlib.md5(f"{lid},{rid}".encode()).hexdigest()[:8], 16)
+            if h % 5 < 2:                       # ~40% candidate density
+                cand.append((lid, rid, h % 17))  # ties guaranteed
+    taken_l, taken_r, expect = set(), set(), set()
+    for lid, rid, sc in sorted(cand, key=lambda p: (-p[2], p[0], p[1])):
+        if lid not in taken_l and rid not in taken_r:
+            taken_l.add(lid)
+            taken_r.add(rid)
+            expect.add((lid, rid, sc))
+    pairs = spark.createDataFrame(cand, "rec_l long, rec_r long, score long")
+    got = {(r.rec_l, r.rec_r, r.score)
+           for r in greedy_one_to_one(pairs).collect()}
+    assert got == expect
+
+
+def test_one_to_one_greedy_fixture(spark):
+    """The fixture entry: output is a matching (no endpoint repeats),
+    every clean duplicate still claims its own original at full
+    score, and the fixture converges within the oracle's unroll
+    bound (the Spark side raises past it, so a green run IS the
+    bound proof)."""
+    from semlink.queries.linkeval import rl_one_to_one_greedy, _O2O_ROUNDS
+    rows = rl_one_to_one_greedy(spark, "/root/testdata/sf0.001").collect()
+    ls = [r.rec_l for r in rows]
+    rs = [r.rec_r for r in rows]
+    assert len(ls) == len(set(ls)) and len(rs) == len(set(rs))
+    assert max(r.rnd for r in rows) <= _O2O_ROUNDS
+    by_l = {r.rec_l: r for r in rows}
+    clean = 0
+    for ck in range(150):
+        if (ck % 3 == 0 and ck % 5 != 0 and ck % 7 != 0
+                and ck % 2 != 0 and ck % 11 != 0):
+            clean += 1
+            r = by_l[ck * 2 + 1]
+            assert r.rec_r == ck * 2 and r.score == 3, ck
+    assert clean > 0
