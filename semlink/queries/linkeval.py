@@ -619,6 +619,86 @@ def rl_one_to_one_greedy(spark, sf_dir):
         max_rounds=_O2O_ROUNDS)
 
 
+# PPRL Bloom constants — shared verbatim with the oracle (semlink.pprl).
+_BLOOM_M = 256
+_BLOOM_K = 4
+_HEXQ = "0123456789abcdef"
+
+
+def _pprl_oracle() -> str:
+    """DuckDB mirror of pprl.bloom_positions + dice_pairs: bigram →
+    md5-nibble double hashing → DISTINCT set-bit table → pair
+    intersection join → integer Dice. The nibble idiom is the same
+    text as the Spark expressions; // vs div agree (all positive)."""
+    def nib(p):
+        return f"(instr('{_HEXQ}', substring(hx, {p}, 1)) - 1)"
+    return f"""
+  {_RECS_SQL},
+  nm AS (SELECT rec_id, lower(name) AS nm FROM recs
+         WHERE length(name) >= 2),
+  big AS (SELECT rec_id, substring(nm, CAST(i AS INTEGER), 2) AS bg
+          FROM (SELECT rec_id, nm,
+                       unnest(generate_series(1, length(nm) - 1)) AS i
+                FROM nm)),
+  hh AS (SELECT rec_id,
+                {nib(1)} * 16 + {nib(2)} AS h1,
+                {nib(3)} * 16 + {nib(4)} AS h2
+         FROM (SELECT rec_id, md5(bg) AS hx FROM big)),
+  pos AS (SELECT DISTINCT rec_id,
+                 CAST((h1 + j * h2) % {_BLOOM_M} AS INTEGER) AS pos
+          FROM hh CROSS JOIN
+               (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j)),
+  card AS (SELECT rec_id, CAST(count(*) AS BIGINT) AS card
+           FROM pos GROUP BY rec_id),
+  cand AS (SELECT l.rec_id AS rec_l, r.rec_id AS rec_r
+           FROM (SELECT * FROM recs WHERE rec_id % 2 = 1) l
+           JOIN (SELECT * FROM recs WHERE rec_id % 2 = 0) r
+             ON l.nat = r.nat),
+  ins AS (SELECT c.rec_l, c.rec_r, CAST(count(*) AS BIGINT) AS inter
+          FROM cand c
+          JOIN pos pl ON pl.rec_id = c.rec_l
+          JOIN pos pr ON pr.rec_id = c.rec_r AND pr.pos = pl.pos
+          GROUP BY c.rec_l, c.rec_r)
+  SELECT c.rec_l, c.rec_r,
+         CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         CAST(coalesce(cl.card, 0) AS BIGINT) AS card_l,
+         CAST(coalesce(cr.card, 0) AS BIGINT) AS card_r,
+         CAST(CASE WHEN coalesce(cl.card, 0) + coalesce(cr.card, 0) > 0
+              THEN (2 * CAST(1000000 AS BIGINT) * coalesce(i.inter, 0))
+                   // (coalesce(cl.card, 0) + coalesce(cr.card, 0))
+              ELSE 0 END AS BIGINT) AS dice6,
+         (c.rec_l // 2) = (c.rec_r // 2) AS is_match
+  FROM cand c
+  LEFT JOIN ins i ON i.rec_l = c.rec_l AND i.rec_r = c.rec_r
+  LEFT JOIN card cl ON cl.rec_id = c.rec_l
+  LEFT JOIN card cr ON cr.rec_id = c.rec_r
+"""
+
+
+@q("rl_pprl_bloom", _pprl_oracle())
+def rl_pprl_bloom(spark, sf_dir):
+    """Privacy-preserving linkage (semlink.pprl): Bloom-encode every
+    record's name (bigrams → 4 double-hashed bits of a 256-bit
+    filter), then Dice-score the nation-blocked duplicate×original
+    candidates on the encodings alone — no raw name comparison. The
+    ZZZ-prefix corruption that fails the Levenshtein-2 gate keeps
+    Dice high (bigram sets barely move), which is the PPRL recall
+    argument. Registry + pytest + oracle verified on demand; demoted
+    from the full driver window (see __spark_entry__)."""
+    from ..pprl import bloom_positions, dice_pairs
+    recs = _records(spark, sf_dir)
+    pos = bloom_positions(recs, id_col="rec_id", text_col="name",
+                          m=_BLOOM_M, k=_BLOOM_K)
+    dup = recs.filter(F.col("rec_id") % 2 == 1) \
+              .select(F.col("rec_id").alias("rec_l"), "nat")
+    orig = recs.filter(F.col("rec_id") % 2 == 0) \
+               .select(F.col("rec_id").alias("rec_r"), "nat")
+    cand = dup.join(orig, "nat").select("rec_l", "rec_r")
+    return dice_pairs(cand, pos).withColumn(
+        "is_match",
+        F.expr("(rec_l div 2) = (rec_r div 2)"))
+
+
 # Meta-blocking scheme constants — shared verbatim with the oracle.
 # Four redundancy-positive schemes with different corruption escape
 # routes: nation (corrupted at ck%11), segment (ck%7, and purged at
