@@ -407,3 +407,59 @@ def fs_em_posterior_expr(fields: Sequence[str], p: float,
         alt = alt * F.when(F.col(f) == 1, F.lit(u[k])) \
             .otherwise(F.lit(1.0) - F.lit(u[k]))
     return num / (num + alt)
+
+
+# ------------------------------------------- frequency-based weights
+# Winkler '89 ("Frequency-based matching in Fellegi-Sunter model of
+# record linkage", ASA Proc. Survey Research Methods): agreement on a
+# RARE field value is stronger evidence than agreement on a common
+# one, so the agreement u-probability becomes value-specific —
+# u(v) = f_v / n, the chance a random record carries v — while the
+# disagreement weight keeps the field-global
+# u_glob = sum_v (f_v/n)^2 (chance two random records agree at all).
+# Both derive from ONE value-frequency groupBy; sum(f_v^2) stays an
+# exact BIGINT, so the only IEEE operations are the final fixed-shape
+# divides and logs, shared verbatim with the oracle.
+
+
+def fs_frequency_weights(pairs: DataFrame, recs: DataFrame, field: str,
+                         m: float = 0.95,
+                         left_suffix: str = "_l",
+                         right_suffix: str = "_r",
+                         out_prefix: str | None = None) -> DataFrame:
+    """Attach value-specific frequency-based FS weights for ``field``
+    to every pair (values expected as ``{field}_l`` / ``{field}_r``):
+
+        agree on v:  w = ln(m / (f_v / n))
+        disagree:    w = ln((1-m) / (1 - sum_v f_v^2 / n^2))
+
+    as scaled-bigint ``w_<field>6`` plus the agreement flag and the
+    agreed value's count ``fv_<field>`` (NULL on disagreement). NULL
+    field values never agree (SQL semantics, both engines). The
+    value-frequency table joins on the left value with no broadcast
+    hint — its cardinality is field-dependent and AQE picks the
+    strategy; the 1-row (n, sum f^2) stats table is the sanctioned
+    1-row broadcast crossJoin."""
+    vl, vr = f"{field}{left_suffix}", f"{field}{right_suffix}"
+    pre = out_prefix or field
+    freq = recs.groupBy(F.col(field).alias("_val")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_fv"))
+    stats = freq.agg(
+        F.sum("_fv").cast("bigint").alias("_n"),
+        F.sum(F.col("_fv") * F.col("_fv")).cast("bigint").alias("_ssq"))
+    out = (pairs.join(freq, pairs[vl] == freq["_val"], "left")
+           .drop("_val")
+           .crossJoin(F.broadcast(stats)))
+    agree = F.col(vl) == F.col(vr)
+    n_d = F.col("_n").cast("double")
+    u_val = F.col("_fv").cast("double") / n_d
+    u_glob = F.col("_ssq").cast("double") / (n_d * n_d)
+    mlit = F.lit(float(m))
+    w = F.when(agree, F.log(mlit / u_val)) \
+        .otherwise(F.log((F.lit(1.0) - mlit) / (F.lit(1.0) - u_glob)))
+    return out.select(
+        *pairs.columns,
+        F.coalesce(agree, F.lit(False)).alias(f"agree_{pre}"),
+        F.when(agree, F.col("_fv")).otherwise(F.lit(None))
+        .cast("bigint").alias(f"fv_{pre}"),
+        F.round(w * 1_000_000).cast("bigint").alias(f"w_{pre}6"))

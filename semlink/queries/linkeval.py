@@ -619,6 +619,77 @@ def rl_one_to_one_greedy(spark, sf_dir):
         max_rounds=_O2O_ROUNDS)
 
 
+_FQ_M = "CAST(0.95 AS DOUBLE)"   # fixed m; literal CAST dodges the
+#                                  DuckDB DECIMAL-literal parity trap
+
+
+def _fq_field(fld: str, f_al: str, s_al: str) -> str:
+    """Oracle columns for one field's frequency-based weights —
+    expression text mirrors fs_frequency_weights exactly (same
+    divide/log shapes, 1.0 - m as a runtime subtraction)."""
+    agree = f"c.{fld}_l = c.{fld}_r"
+    return f"""coalesce({agree}, FALSE) AS agree_{fld},
+         CAST(CASE WHEN {agree} THEN {f_al}.fv END AS BIGINT)
+           AS fv_{fld},
+         CAST(round(1000000 * CASE WHEN {agree}
+              THEN ln({_FQ_M} / (CAST({f_al}.fv AS DOUBLE)
+                                 / CAST({s_al}.n AS DOUBLE)))
+              ELSE ln((CAST(1.0 AS DOUBLE) - {_FQ_M})
+                      / (CAST(1.0 AS DOUBLE)
+                         - CAST({s_al}.ssq AS DOUBLE)
+                           / (CAST({s_al}.n AS DOUBLE)
+                              * CAST({s_al}.n AS DOUBLE)))) END)
+           AS BIGINT) AS w_{fld}6"""
+
+
+@q("rl_fs_frequency", f"""
+  {_RECS_SQL},
+  fseg AS (SELECT seg AS val, CAST(count(*) AS BIGINT) AS fv
+           FROM recs GROUP BY seg),
+  sseg AS (SELECT CAST(sum(fv) AS BIGINT) AS n,
+                  CAST(sum(fv * fv) AS BIGINT) AS ssq FROM fseg),
+  fnat AS (SELECT nat AS val, CAST(count(*) AS BIGINT) AS fv
+           FROM recs GROUP BY nat),
+  snat AS (SELECT CAST(sum(fv) AS BIGINT) AS n,
+                  CAST(sum(fv * fv) AS BIGINT) AS ssq FROM fnat),
+  cand AS (SELECT l.rec_id AS rec_l, r.rec_id AS rec_r,
+                  l.seg AS seg_l, r.seg AS seg_r,
+                  l.nat AS nat_l, r.nat AS nat_r
+           FROM (SELECT * FROM recs WHERE rec_id % 2 = 1) l
+           JOIN (SELECT * FROM recs WHERE rec_id % 2 = 0) r
+             ON l.nat = r.nat)
+  SELECT c.rec_l, c.rec_r, c.seg_l, c.seg_r, c.nat_l, c.nat_r,
+         {_fq_field("seg", "fs", "ss")},
+         {_fq_field("nat", "fn", "sn")}
+  FROM cand c
+  LEFT JOIN fseg fs ON fs.val = c.seg_l
+  CROSS JOIN sseg ss
+  LEFT JOIN fnat fn ON fn.val = c.nat_l
+  CROSS JOIN snat sn
+""")
+def rl_fs_frequency(spark, sf_dir):
+    """Frequency-based FS weights (linkeval.fs_frequency_weights,
+    Winkler '89): agreement on a rare segment or nation outweighs
+    agreement on a common one — u becomes value-specific f_v/n on
+    agreement, field-global sum(f_v^2)/n^2 on disagreement. The
+    nation-blocked candidates all agree on nat (per-value weight
+    varies by nation frequency); seg mixes agree/disagree. Registry
+    + pytest + oracle verified on demand; demoted from the full
+    driver window (see __spark_entry__)."""
+    from ..linkeval import fs_frequency_weights
+    recs = _records(spark, sf_dir)
+    dup = recs.filter(F.col("rec_id") % 2 == 1).select(
+        F.col("rec_id").alias("rec_l"), F.col("seg").alias("seg_l"),
+        F.col("nat").alias("nat_l"))
+    orig = recs.filter(F.col("rec_id") % 2 == 0).select(
+        F.col("rec_id").alias("rec_r"), F.col("seg").alias("seg_r"),
+        F.col("nat").alias("nat_r"))
+    cand = dup.join(orig, dup["nat_l"] == orig["nat_r"]).select(
+        "rec_l", "rec_r", "seg_l", "seg_r", "nat_l", "nat_r")
+    out = fs_frequency_weights(cand, recs, "seg")
+    return fs_frequency_weights(out, recs, "nat")
+
+
 # PPRL Bloom constants — shared verbatim with the oracle (semlink.pprl).
 _BLOOM_M = 256
 _BLOOM_K = 4

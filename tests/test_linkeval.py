@@ -489,3 +489,61 @@ def test_one_to_one_greedy_fixture(spark):
             r = by_l[ck * 2 + 1]
             assert r.rec_r == ck * 2 and r.score == 3, ck
     assert clean > 0
+
+
+# ------------------------------------------ frequency-based weights
+
+def test_fs_frequency_weights_hand_values(spark):
+    """Exact hand-computed weights on a 4-record population: value
+    frequencies {a:3, b:1}, n=4, ssq=10. Agreement on rare 'b'
+    (ln(.95/(1/4))) outweighs agreement on common 'a'
+    (ln(.95/(3/4))); disagreement uses the global
+    u = 10/16; NULL values never agree."""
+    import math
+    from semlink.linkeval import fs_frequency_weights
+    recs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], "rec_id long, v string")
+    pairs = spark.createDataFrame(
+        [(1, 2, "a", "a"), (3, 4, "b", "b"), (1, 4, "a", "b"),
+         (2, 3, None, "a")],
+        "rec_l long, rec_r long, v_l string, v_r string")
+    rows = {(r.rec_l, r.rec_r): r
+            for r in fs_frequency_weights(pairs, recs, "v").collect()}
+    w_a = round(1e6 * math.log(0.95 / (3 / 4)))
+    w_b = round(1e6 * math.log(0.95 / (1 / 4)))
+    w_dis = round(1e6 * math.log((1.0 - 0.95) / (1.0 - 10 / 16)))
+    assert rows[(1, 2)].w_v6 == w_a and rows[(1, 2)].fv_v == 3
+    assert rows[(3, 4)].w_v6 == w_b and rows[(3, 4)].fv_v == 1
+    assert w_b > w_a > 0 > w_dis
+    assert rows[(1, 4)].w_v6 == w_dis and rows[(1, 4)].fv_v is None
+    assert not rows[(2, 3)].agree_v and rows[(2, 3)].w_v6 == w_dis
+
+
+def test_fs_frequency_query_rarity_monotonic(spark):
+    """On the fixture entry: every candidate agrees on the blocked
+    nation; across nations, the agreement weight strictly decreases
+    as the nation frequency increases (rarity monotonicity); the
+    same holds across segments, and 'CORRUPT' (held only by
+    corrupted duplicates, never originals) yields NO agreeing pair
+    — it surfaces solely through disagreement rows."""
+    from semlink.queries.linkeval import rl_fs_frequency
+    df = rl_fs_frequency(spark, "/root/testdata/sf0.001").cache()
+    assert df.filter(~F.col("agree_nat")).count() == 0
+    nat = {r.fv_nat: r.w_nat6 for r in
+           df.select("fv_nat", "w_nat6").distinct().collect()}
+    fvs = sorted(nat)
+    assert len(fvs) > 3
+    for lo, hi in zip(fvs, fvs[1:]):
+        assert nat[lo] > nat[hi]
+    seg = {r.fv_seg: r.w_seg6 for r in
+           df.filter(F.col("agree_seg"))
+           .select("fv_seg", "w_seg6").distinct().collect()}
+    sfvs = sorted(seg)
+    assert len(sfvs) > 2
+    for lo, hi in zip(sfvs, sfvs[1:]):
+        assert seg[lo] > seg[hi]
+    assert df.filter(F.col("agree_seg")
+                     & (F.col("seg_l") == "CORRUPT")).count() == 0
+    assert df.filter(~F.col("agree_seg")
+                     & (F.col("seg_l") == "CORRUPT")).count() > 0
+    df.unpersist()
