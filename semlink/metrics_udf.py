@@ -148,8 +148,13 @@ def _jw_chunk(a: pd.Series, b: pd.Series, max_len: int,
     # we follow the oracle for testability)
     jaro = np.where(m == 0, 0.0, jaro)
 
-    # Winkler prefix boost
-    pref_eq = (A[:, :4] == B[:, :4]) & (np.arange(4)[None, :] < np.minimum(la, lb)[:, None])
+    # Winkler prefix boost. Compare at most the narrower matrix's
+    # width: B is trimmed to max(L2, 1) above, so a batch whose
+    # b-side strings are ALL shorter than 4 chars would otherwise
+    # broadcast-fail; positions >= lb are masked by the length
+    # condition regardless, so the truncation never changes a value.
+    pw = min(4, A.shape[1], B.shape[1])
+    pref_eq = (A[:, :pw] == B[:, :pw]) & (np.arange(pw)[None, :] < np.minimum(la, lb)[:, None])
     ell = np.where(pref_eq.cumprod(axis=1).astype(bool), 1, 0).sum(axis=1)
     jw = np.where(jaro > boost_threshold,
                   jaro + prefix_scale * ell * (1.0 - jaro), jaro)

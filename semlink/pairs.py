@@ -194,3 +194,80 @@ def edges_from_scores(scored: DataFrame,
         F.least("left_mention_id", "right_mention_id").alias("src"),
         F.greatest("left_mention_id", "right_mention_id").alias("dst"))
         .filter(F.col("src") != F.col("dst")))
+
+
+def soft_tfidf(pairs: DataFrame, corpus: DataFrame,
+               a_col: str = "a", b_col: str = "b",
+               doc_col: str = "doc", theta6: int = 900_000,
+               out_col: str = "st6") -> DataFrame:
+    """Directed soft-TF-IDF similarity (Cohen, Ravikumar & Fienberg,
+    IIWeb 2003) — THE hybrid comparison for multi-word names: token
+    TF-IDF cosine, but a token of ``a`` may match any token of ``b``
+    whose Jaro-Winkler clears theta (CLOSE set), contributing
+    V'(t,a) * V'(argmax v,b) * maxJW instead of requiring equality.
+
+        STFIDF(a,b) = sum over t in a, maxJW(t,b) > theta of
+                      V'(t,a) * V'(v*,b) * maxJW(t,b)
+
+    IDF comes from ``corpus`` (one row per document under
+    ``doc_col``); both sides of every pair must be corpus documents.
+
+    Determinism under any partitioning, per the repo convention —
+    quantize BEFORE aggregating: idf6 = round(1e6*ln(N/df)) is one
+    ln per distinct token; the un-normalized weight tf*idf6 and the
+    norm accumulator sum((tf*idf6)^2) stay exact BIGINTs, so the
+    only float ops are the fixed-shape normalize divide
+    (wq/sqrt(norm2)) and the final 3-factor term product, each
+    mirrored verbatim by the oracle. The argmax v* is made TOTAL by
+    ranking on (jw6 DESC, partner weight DESC, token ASC); each
+    close term is re-quantized to BIGINT before the per-pair sum.
+
+    Scale: token explodes are bounded by name lengths; JW runs as
+    the ONE Arrow-batched kernel pass; every join/groupBy is keyed
+    by pair or token — no cartesian beyond the per-pair token cross
+    (|a|·|b| tokens, names not documents)."""
+    toks = lambda c: F.array_remove(  # noqa: E731
+        F.split(F.trim(F.col(c)), r" +"), "")
+    dtok = corpus.select(F.col(doc_col).alias("_doc"),
+                         F.explode(toks(doc_col)).alias("_t"))
+    tf = dtok.groupBy("_doc", "_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tf"))
+    ndocs = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    dfq = tf.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df"))
+    idf = dfq.crossJoin(F.broadcast(ndocs)).select(
+        "_t",
+        F.round(F.log(F.col("_n").cast("double")
+                      / F.col("_df").cast("double")) * 1_000_000)
+        .cast("bigint").alias("_idf6"))
+    w = tf.join(idf, "_t").select(
+        "_doc", "_t", (F.col("_tf") * F.col("_idf6")).alias("_wq"))
+    norm = w.groupBy("_doc").agg(
+        F.sum(F.col("_wq") * F.col("_wq")).cast("bigint").alias("_n2"))
+    wn = w.join(norm, "_doc").select(
+        "_doc", "_t", "_wq",
+        (F.col("_wq").cast("double")
+         / F.sqrt(F.col("_n2").cast("double"))).alias("_wn"))
+    ta = wn.select(F.col("_doc").alias(a_col), F.col("_t").alias("_ta"),
+                   F.col("_wn").alias("_wna"))
+    tb = wn.select(F.col("_doc").alias(b_col), F.col("_t").alias("_tb"),
+                   F.col("_wq").alias("_wqb"), F.col("_wn").alias("_wnb"))
+    cross = pairs.select(a_col, b_col).join(ta, a_col).join(tb, b_col)
+    jw6 = F.round(jaro_winkler_udf(F.col("_ta"), F.col("_tb"))
+                  * 1_000_000).cast("bigint")
+    ranked = cross.withColumn("_jw6", jw6).withColumn(
+        "_rk", F.row_number().over(
+            Window.partitionBy(a_col, b_col, "_ta")
+            .orderBy(F.desc("_jw6"), F.desc("_wqb"), F.asc("_tb"))))
+    close = ranked.filter((F.col("_rk") == 1)
+                          & (F.col("_jw6") > theta6))
+    term6 = F.round(
+        (F.col("_wna") * F.col("_wnb")
+         * (F.col("_jw6").cast("double") / F.lit(1_000_000.0)))
+        * 1_000_000).cast("bigint")
+    scored = close.withColumn("_term6", term6).groupBy(a_col, b_col).agg(
+        F.sum("_term6").cast("bigint").alias("_st"))
+    return (pairs.join(scored, [a_col, b_col], "left")
+            .withColumn(out_col,
+                        F.coalesce("_st", F.lit(0)).cast("bigint"))
+            .drop("_st"))

@@ -314,3 +314,68 @@ def rl_dict_stats(spark, sf_dir):
                     "prior6",
                     _r6(F.col("link_prob")).alias("link_prob6"),
                     _r6(F.col("sense_prob")).alias("sense_prob6"))
+
+
+@q("rl_soft_tfidf", """
+  WITH docs AS (SELECT DISTINCT p_name AS doc FROM part),
+  tok AS (SELECT doc, t
+          FROM (SELECT doc, unnest(string_split(trim(doc), ' ')) AS t
+                FROM docs) WHERE t <> ''),
+  tf AS (SELECT doc, t, CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY doc, t),
+  nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+  dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+  idf AS (SELECT t, CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                                * 1000000) AS BIGINT) AS idf6
+          FROM dfq CROSS JOIN nd),
+  w AS (SELECT tf.doc, tf.t, tf.tf * i.idf6 AS wq
+        FROM tf JOIN idf i ON i.t = tf.t),
+  nrm AS (SELECT doc, CAST(sum(wq * wq) AS BIGINT) AS n2
+          FROM w GROUP BY doc),
+  wn AS (SELECT w.doc, w.t, w.wq,
+                CAST(w.wq AS DOUBLE) / sqrt(CAST(nrm.n2 AS DOUBLE)) AS wn
+         FROM w JOIN nrm ON nrm.doc = w.doc),
+  prs AS (SELECT d1.doc AS a, d2.doc AS b
+          FROM docs d1 JOIN docs d2
+            ON split_part(trim(d1.doc), ' ', 1)
+             = split_part(trim(d2.doc), ' ', 1)
+           AND d1.doc < d2.doc),
+  cx AS (SELECT p.a, p.b, wa.t AS ta, wa.wn AS wna,
+                wb.t AS tb, wb.wq AS wqb, wb.wn AS wnb,
+                CAST(round(jaro_winkler_similarity(wa.t, wb.t) * 1000000)
+                     AS BIGINT) AS jw6
+         FROM prs p
+         JOIN wn wa ON wa.doc = p.a
+         JOIN wn wb ON wb.doc = p.b),
+  rk AS (SELECT *, row_number() OVER (PARTITION BY a, b, ta
+                   ORDER BY jw6 DESC, wqb DESC, tb) AS rk FROM cx),
+  terms AS (SELECT a, b,
+                   CAST(round((wna * wnb * (CAST(jw6 AS DOUBLE)
+                                            / CAST(1000000 AS DOUBLE)))
+                              * 1000000) AS BIGINT) AS term6
+            FROM rk WHERE rk = 1 AND jw6 > 900000),
+  sc AS (SELECT a, b, CAST(sum(term6) AS BIGINT) AS st6
+         FROM terms GROUP BY a, b)
+  SELECT p.a, p.b, CAST(coalesce(sc.st6, 0) AS BIGINT) AS st6
+  FROM prs p LEFT JOIN sc ON sc.a = p.a AND sc.b = p.b
+""")
+def rl_soft_tfidf(spark, sf_dir):
+    """Soft-TF-IDF (pairs.soft_tfidf, Cohen-Ravikumar-Fienberg '03)
+    over the distinct part names sharing a first token: token
+    TF-IDF cosine where a token matches its best Jaro-Winkler
+    partner above theta=0.9 rather than requiring equality. IDF
+    corpus = the distinct names themselves; idf/weights/norms are
+    quantized to exact BIGINTs before every aggregation, so only
+    the normalize divide and the 3-factor term product are float
+    ops, shared verbatim with the oracle. Registry + pytest +
+    oracle verified on demand; demoted from the full driver window
+    (see __spark_entry__)."""
+    from ..pairs import soft_tfidf
+    p = _read(spark, sf_dir, "part")
+    docs = p.select(F.col("p_name").alias("doc")).distinct()
+    first = F.element_at(F.split(F.trim(F.col("doc")), r" +"), 1)
+    d1 = docs.select(F.col("doc").alias("a"), first.alias("_f1"))
+    d2 = docs.select(F.col("doc").alias("b"), first.alias("_f1"))
+    prs = (d1.join(d2, "_f1")
+           .filter(F.col("a") < F.col("b")).select("a", "b"))
+    return soft_tfidf(prs, docs, "a", "b", doc_col="doc")

@@ -87,3 +87,88 @@ def test_monge_elkan_exact_mirror(spark):
         want = round(sum(best) / len(best))
         assert got[(a, b)] == want, (a, b)
     assert got[("x x y", "x")] == round((1_000_000 * 2 + jw6("y", "x")) / 3)
+
+
+def test_soft_tfidf_exact_mirror(spark):
+    """soft_tfidf equals a pure-Python IEEE mirror with the same
+    quantize-then-aggregate order: idf6/weights/norms as exact ints,
+    best-partner selection on (jw6, partner weight, token), terms
+    re-quantized before the sum. Covers an exact-token match, a
+    close-but-unequal token (apple/appel), a below-theta token, and
+    a no-close-token pair scoring 0."""
+    import math
+
+    import pandas as pd
+    from semlink.metrics_udf import jaro_winkler_batch
+    from semlink.pairs import soft_tfidf
+
+    docs = ["red apple", "red appel", "blue berry", "red wine"]
+    pairs = [("red apple", "red appel"), ("red apple", "blue berry"),
+             ("red apple", "red wine")]
+    ddf = spark.createDataFrame([(d,) for d in docs], "doc string")
+    pdf = spark.createDataFrame(pairs, "a string, b string")
+    got = {(r.a, r.b): r.st6
+           for r in soft_tfidf(pdf, ddf, "a", "b").collect()}
+
+    def jw6(x, y):
+        return round(float(jaro_winkler_batch(
+            pd.Series([x]), pd.Series([y]))[0]) * 1e6)
+
+    n = len(docs)
+    df_t = {}
+    for d in docs:
+        for t in set(d.split()):
+            df_t[t] = df_t.get(t, 0) + 1
+    idf6 = {t: round(1e6 * math.log(n / df)) for t, df in df_t.items()}
+
+    def weights(d):
+        toks = d.split()
+        wq = {t: toks.count(t) * idf6[t] for t in set(toks)}
+        n2 = sum(v * v for v in wq.values())
+        return wq, {t: v / math.sqrt(n2) for t, v in wq.items()}
+
+    for a, b in pairs:
+        wqa, wna = weights(a)
+        wqb, wnb = weights(b)
+        st = 0
+        for t in wna:
+            cands = sorted(((jw6(t, v), wqb[v], v) for v in wnb),
+                           key=lambda c: (-c[0], -c[1], c[2]))
+            bj, _, bv = cands[0]
+            if bj > 900_000:
+                st += round((wna[t] * wnb[bv] * (bj / 1_000_000.0))
+                            * 1_000_000)
+        assert got[(a, b)] == st, (a, b, got[(a, b)], st)
+    assert got[("red apple", "blue berry")] == 0
+    assert got[("red apple", "red appel")] > got[("red apple", "red wine")]
+
+
+def test_soft_tfidf_fixture_bounds(spark):
+    """Fixture entry at sf0.001: every first-token-blocked pair has
+    at least the shared first token close (st6 > 0), scores respect
+    the cosine ceiling up to per-term rounding, and a pair of
+    identical token multisets would score ~1 — approximated by the
+    max being well above the median."""
+    from semlink.queries.rl import rl_soft_tfidf
+    rows = rl_soft_tfidf(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    vals = sorted(r.st6 for r in rows)
+    assert vals[0] > 0
+    assert vals[-1] <= 1_000_000 + 10  # <= #close-terms rounding slack
+
+
+def test_jw_batch_all_short_side_no_crash():
+    """Regression: a batch whose b-side strings are ALL shorter than
+    the 4-char Winkler prefix window used to broadcast-fail against
+    the untrimmed a-side matrix. Values must equal the swapped call
+    (JW is symmetric) and the known MARTHA prefix-boost shape."""
+    import pandas as pd
+    from semlink.metrics_udf import jaro_winkler_batch
+    a = pd.Series(["apple", "wine", "martha"])
+    b = pd.Series(["red", "ab", "mar"])
+    fwd = jaro_winkler_batch(a, b)
+    rev = jaro_winkler_batch(b, a)
+    assert list(fwd) == list(rev)
+    # 'mar' is a clean 3-char prefix of 'martha': jaro = (3/6+3/3+3/3)/3
+    j = (0.5 + 1 + 1) / 3
+    assert abs(fwd[2] - (j + 0.3 * (1 - j))) < 1e-12
