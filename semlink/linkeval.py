@@ -463,3 +463,42 @@ def fs_frequency_weights(pairs: DataFrame, recs: DataFrame, field: str,
         F.when(agree, F.col("_fv")).otherwise(F.lit(None))
         .cast("bigint").alias(f"fv_{pre}"),
         F.round(w * 1_000_000).cast("bigint").alias(f"w_{pre}6"))
+
+
+def score_auc(pairs: DataFrame, score_col: str,
+              label_col: str = "is_match",
+              scale: int = 1_000_000) -> DataFrame:
+    """ROC-AUC of a linkage score against binary labels — the
+    Mann-Whitney U statistic with EXACT tie handling, as one row
+    (p, n, u2, auc6).
+
+    Never ranks the pair table: the sufficient statistic is the
+    per-score histogram (ONE map-side-combined groupBy), and the
+    midrank algebra stays integer —
+
+        u2 = sum_s p_s * (2 * N_below(s) + n_s)   ( = 2U )
+        auc6 = floor(scale * u2 / (2 * p * n))
+
+    where ties contribute exactly 1/2 each (the p_s*n_s term). The
+    ordered-window cumulative runs over DISTINCT SCORES ONLY, so its
+    single-partition sort is bounded by score cardinality, not pair
+    count (same shape as the EM pattern histogram). Exact while
+    scale * 2 * p * n < 2^63, i.e. p*n < ~4.6e12 at scale 1e6.
+    NULL auc6 when either class is empty."""
+    y = F.col(label_col).cast("bigint")
+    hist = pairs.groupBy(score_col).agg(
+        F.sum(y).cast("bigint").alias("p_s"),
+        F.sum(1 - y).cast("bigint").alias("n_s"))
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cn", F.coalesce(F.sum("n_s").over(w), F.lit(0)).cast("bigint"))
+    agg = cum.agg(
+        F.sum("p_s").cast("bigint").alias("p"),
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum(F.col("p_s") * (2 * F.col("cn") + F.col("n_s")))
+        .cast("bigint").alias("u2"))
+    return agg.select(
+        "p", "n", "u2",
+        F.when((F.col("p") > 0) & (F.col("n") > 0),
+               F.expr(f"({scale} * u2) div (2 * p * n)"))
+        .cast("bigint").alias("auc6"))

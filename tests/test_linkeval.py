@@ -547,3 +547,44 @@ def test_fs_frequency_query_rarity_monotonic(spark):
     assert df.filter(~F.col("agree_seg")
                      & (F.col("seg_l") == "CORRUPT")).count() > 0
     df.unpersist()
+
+
+# ----------------------------------------------------------- ROC-AUC
+
+def test_score_auc_hand_values(spark):
+    """Exact midrank algebra on a hand case with ties: scores
+    pos={3,2,2}, neg={2,1}: U = 1*2 (3>both) + 2*(1 + 0.5) (each 2
+    beats 1, ties the neg 2) = 5 -> u2 = 10, auc = 5/6. Perfect
+    separation gives exactly 1e6, a constant score exactly 500000,
+    and a single-class input a NULL auc6."""
+    from semlink.linkeval import score_auc
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (2, 1), (2, 0), (1, 0)], "s long, is_match long")
+    r = score_auc(df, "s").collect()[0]
+    assert (r.p, r.n, r.u2) == (3, 2, 10)
+    assert r.auc6 == (1_000_000 * 10) // (2 * 3 * 2)  # 833333
+    perfect = spark.createDataFrame(
+        [(9, 1), (8, 1), (2, 0)], "s long, is_match long")
+    assert score_auc(perfect, "s").collect()[0].auc6 == 1_000_000
+    const = spark.createDataFrame(
+        [(5, 1), (5, 0), (5, 1), (5, 0)], "s long, is_match long")
+    assert score_auc(const, "s").collect()[0].auc6 == 500_000
+    onecls = spark.createDataFrame([(5, 1), (7, 1)], "s long, is_match long")
+    assert score_auc(onecls, "s").collect()[0].auc6 is None
+
+
+def test_score_auc_fixture_orders_scores(spark):
+    """On the corruption fixture, the supervised FS score separates
+    matches from non-matches far above chance, and AUC is invariant
+    to any strictly monotone rescaling of the score (rank statistic)."""
+    from semlink.linkeval import (fs_estimate_weights, fs_score,
+                                  score_auc)
+    from semlink.queries.linkeval import _FIELDS, _labeled_pairs
+    _, lab = _labeled_pairs(spark, "/root/testdata/sf0.001")
+    w = fs_estimate_weights(lab, list(_FIELDS))
+    scored = fs_score(lab, w, list(_FIELDS)).cache()
+    a1 = score_auc(scored, "fs6").collect()[0]
+    assert a1.auc6 is not None and a1.auc6 > 900_000
+    mono = scored.withColumn("s2", F.col("fs6") * 3 + 7)
+    assert score_auc(mono, "s2").collect()[0].auc6 == a1.auc6
+    scored.unpersist()
