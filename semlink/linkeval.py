@@ -502,3 +502,83 @@ def score_auc(pairs: DataFrame, score_col: str,
         F.when((F.col("p") > 0) & (F.col("n") > 0),
                F.expr(f"({scale} * u2) div (2 * p * n)"))
         .cast("bigint").alias("auc6"))
+
+
+def fs_thresholds(pairs: DataFrame, score_col: str,
+                  label_col: str = "is_match",
+                  mu6: int = 10_000, lam6: int = 50_000) -> DataFrame:
+    """Empirical Fellegi-Sunter decision thresholds: the classic
+    three-way rule designates pairs LINK above an upper cutoff,
+    NON-LINK below a lower cutoff, and CLERICAL REVIEW between, with
+    the cutoffs chosen to bound the two error rates (Fellegi &
+    Sunter 1969 §3). The error rates condition on the TRUE class,
+    exactly as the paper defines them: mu = P(link | non-match),
+    lam = P(non-link | match), both scaled 1e6 here.
+
+        t_upper = MIN score s.t. designating [score, inf) as links
+                  keeps  fp * 1e6 <= mu6  * n   (n = all non-matches)
+        t_lower = MAX score s.t. designating (-inf, score] as
+                  non-links keeps  fn * 1e6 <= lam6 * p  (all matches)
+
+    If generous budgets make the regions cross, LINK takes
+    precedence and the non-link region is truncated below it (FS
+    assumes admissible error levels where this cannot happen; the
+    precedence keeps the partition well-defined regardless).
+
+    Returns ONE row: both cutoffs, the link / review / non-link
+    counts and the achieved scaled error rates fp/n and fn/p under
+    the selected rule (a cutoff is NULL when no prefix satisfies its
+    bound). All comparisons are exact BIGINT cross-multiplications —
+    no float anywhere. Like score_auc, the scan is over the
+    DISTINCT-SCORE histogram (two bounded windows), never the pair
+    table."""
+    y = F.col(label_col).cast("bigint")
+    hist = pairs.groupBy(score_col).agg(
+        F.sum(y).cast("bigint").alias("p_s"),
+        F.sum(1 - y).cast("bigint").alias("n_s"))
+    wd = Window.orderBy(F.desc(score_col)) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy(F.asc(score_col)) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = pairs.agg(F.sum(y).cast("bigint").alias("tp_all"),
+                    F.sum(1 - y).cast("bigint").alias("tn_all"))
+    c = (hist.crossJoin(F.broadcast(tot))
+         .withColumn("cfp", F.sum("n_s").over(wd).cast("bigint"))
+         .withColumn("cfn", F.sum("p_s").over(wa).cast("bigint")))
+    s = F.col(score_col)
+    up = F.min(F.when(
+        F.col("cfp") * 1_000_000 <= F.lit(mu6) * F.col("tn_all"), s))
+    lo = F.max(F.when(
+        F.col("cfn") * 1_000_000 <= F.lit(lam6) * F.col("tp_all"), s))
+    sel = c.agg(up.alias("t_upper"), lo.alias("t_lower"),
+                F.sum("p_s").cast("bigint").alias("p"),
+                F.sum("n_s").cast("bigint").alias("n"))
+    # re-aggregate the designation counts under the chosen cutoffs
+    # (1-row broadcast crossJoin, the sanctioned shape)
+    j = hist.crossJoin(F.broadcast(sel))
+    link = F.col(score_col) >= F.col("t_upper")
+    non = ((F.col(score_col) <= F.col("t_lower"))
+           & ~F.coalesce(link, F.lit(False)))
+    out = j.agg(
+        F.first("t_upper").alias("t_upper"),
+        F.first("t_lower").alias("t_lower"),
+        F.first("p").alias("p"), F.first("n").alias("n"),
+        F.sum(F.when(link, F.col("p_s") + F.col("n_s")).otherwise(0))
+        .cast("bigint").alias("n_link"),
+        F.sum(F.when(non, F.col("p_s") + F.col("n_s")).otherwise(0))
+        .cast("bigint").alias("n_nonlink"),
+        F.sum(F.when(link, F.col("n_s")).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(non, F.col("p_s")).otherwise(0))
+        .cast("bigint").alias("fn"))
+    return out.select(
+        "t_upper", "t_lower", "p", "n", "n_link", "n_nonlink",
+        (F.col("p") + F.col("n") - F.col("n_link") - F.col("n_nonlink"))
+        .cast("bigint").alias("n_review"),
+        "fp", "fn",
+        F.when(F.col("n") > 0,
+               F.expr("(1000000 * fp) div n")).cast("bigint")
+        .alias("mu_hat6"),
+        F.when(F.col("p") > 0,
+               F.expr("(1000000 * fn) div p")).cast("bigint")
+        .alias("lam_hat6"))

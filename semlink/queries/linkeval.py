@@ -657,6 +657,76 @@ def rl_score_auc(spark, sf_dir):
     return score_auc(scored, "fs6")
 
 
+_TH_MU6 = 10_000    # FS link false-match bound (1%), scaled 1e6
+_TH_LAM6 = 50_000   # FS non-link false-non-match bound (5%)
+
+
+@q("rl_fs_thresholds", f"""
+  {_RECS_SQL},
+  {_LAB_SQL},
+  {_MU_SQL},
+  scored AS (
+    SELECT l.is_match,
+           CAST(ROUND(({_SCORE_TERMS}) * 1000000) AS BIGINT) AS fs6
+    FROM lab l CROSS JOIN mu),
+  hist AS (SELECT fs6, CAST(sum(is_match) AS BIGINT) AS p_s,
+                  CAST(sum(1 - is_match) AS BIGINT) AS n_s
+           FROM scored GROUP BY fs6),
+  tot AS (SELECT CAST(sum(is_match) AS BIGINT) AS tp_all,
+                 CAST(sum(1 - is_match) AS BIGINT) AS tn_all
+          FROM scored),
+  c AS (SELECT *,
+          CAST(sum(n_s) OVER (ORDER BY fs6 DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cfp,
+          CAST(sum(p_s) OVER (ORDER BY fs6 ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cfn
+        FROM hist CROSS JOIN tot),
+  sel AS (SELECT
+            min(CASE WHEN cfp * 1000000 <= {_TH_MU6} * tn_all
+                THEN fs6 END) AS t_upper,
+            max(CASE WHEN cfn * 1000000 <= {_TH_LAM6} * tp_all
+                THEN fs6 END) AS t_lower,
+            CAST(sum(p_s) AS BIGINT) AS p,
+            CAST(sum(n_s) AS BIGINT) AS n
+          FROM c),
+  fin AS (SELECT any_value(t_upper) AS t_upper,
+                 any_value(t_lower) AS t_lower,
+                 any_value(p) AS p, any_value(n) AS n,
+                 CAST(sum(CASE WHEN fs6 >= t_upper
+                      THEN p_s + n_s ELSE 0 END) AS BIGINT) AS n_link,
+                 CAST(sum(CASE WHEN fs6 <= t_lower
+                           AND NOT coalesce(fs6 >= t_upper, FALSE)
+                      THEN p_s + n_s ELSE 0 END) AS BIGINT) AS n_nonlink,
+                 CAST(sum(CASE WHEN fs6 >= t_upper
+                      THEN n_s ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN fs6 <= t_lower
+                           AND NOT coalesce(fs6 >= t_upper, FALSE)
+                      THEN p_s ELSE 0 END) AS BIGINT) AS fn
+          FROM hist CROSS JOIN sel)
+  SELECT t_upper, t_lower, p, n, n_link, n_nonlink,
+         CAST(p + n - n_link - n_nonlink AS BIGINT) AS n_review, fp, fn,
+         CAST(CASE WHEN n > 0
+              THEN (1000000 * fp) // n END AS BIGINT) AS mu_hat6,
+         CAST(CASE WHEN p > 0
+              THEN (1000000 * fn) // p END AS BIGINT) AS lam_hat6
+  FROM fin
+""")
+def rl_fs_thresholds(spark, sf_dir):
+    """Fellegi-Sunter three-way decision thresholds
+    (linkeval.fs_thresholds): the upper/lower score cutoffs bounding
+    the FS error rates mu = P(link | non-match) at 1% and
+    lam = P(non-link | match) at 5%, plus the
+    link/review/non-link partition sizes and achieved rates — all
+    exact BIGINT cross-multiplications over the distinct-score
+    histogram. Registry + pytest + oracle verified on demand;
+    demoted from the full driver window (see __spark_entry__)."""
+    from ..linkeval import fs_estimate_weights, fs_score, fs_thresholds
+    _, lab = _labeled_pairs(spark, sf_dir)
+    w = fs_estimate_weights(lab, list(_FIELDS))
+    scored = fs_score(lab, w, list(_FIELDS))
+    return fs_thresholds(scored, "fs6", mu6=_TH_MU6, lam6=_TH_LAM6)
+
+
 _FQ_M = "CAST(0.95 AS DOUBLE)"   # fixed m; literal CAST dodges the
 #                                  DuckDB DECIMAL-literal parity trap
 

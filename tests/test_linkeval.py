@@ -588,3 +588,54 @@ def test_score_auc_fixture_orders_scores(spark):
     mono = scored.withColumn("s2", F.col("fs6") * 3 + 7)
     assert score_auc(mono, "s2").collect()[0].auc6 == a1.auc6
     scored.unpersist()
+
+
+# ------------------------------------------------- FS thresholds
+
+def test_fs_thresholds_hand_values(spark):
+    """Hand case: scores/labels (5,M)(4,M)(4,U)(3,U)(2,M)(1,U)(1,U),
+    p=3, n=4. mu=30% -> fp budget floor(.3*4)=1.2 -> cum fp from top:
+    s=5:0, s=4:1, s=3:2 -> t_upper=4. lam=40% -> fn budget 1.2 ->
+    cum fn from bottom: s=1:0, s=2:1, s=3:1, s=4:3 -> t_lower=3.
+    Designations: link {5,4}x3 pairs fp=1; nonlink {1,1,2,3} fn=1;
+    review empty here (adjacent cutoffs, n_review counts nothing
+    strictly between)."""
+    from semlink.linkeval import fs_thresholds
+    df = spark.createDataFrame(
+        [(5, 1), (4, 1), (4, 0), (3, 0), (2, 1), (1, 0), (1, 0)],
+        "s long, is_match long")
+    r = fs_thresholds(df, "s", mu6=300_000, lam6=400_000).collect()[0]
+    assert (r.t_upper, r.t_lower) == (4, 3)
+    assert (r.n_link, r.n_nonlink, r.n_review) == (3, 4, 0)
+    assert (r.fp, r.fn) == (1, 1)
+    assert r.mu_hat6 == (1_000_000 * 1) // 4
+    assert r.lam_hat6 == (1_000_000 * 1) // 3
+    # zero budgets: only the fp/fn-free prefixes qualify
+    r0 = fs_thresholds(df, "s", mu6=0, lam6=0).collect()[0]
+    assert (r0.t_upper, r0.t_lower) == (5, 1)
+    assert (r0.fp, r0.fn) == (0, 0)
+
+
+def test_fs_thresholds_link_precedence_on_crossing(spark):
+    """Generous budgets that let the regions cross: LINK wins and the
+    non-link region is truncated below the upper cutoff, keeping the
+    three-way partition disjoint and n_review >= 0."""
+    from semlink.linkeval import fs_thresholds
+    df = spark.createDataFrame(
+        [(5, 1), (4, 0), (3, 1), (2, 0), (1, 0)], "s long, is_match long")
+    r = fs_thresholds(df, "s", mu6=900_000, lam6=900_000).collect()[0]
+    assert r.t_lower >= r.t_upper          # crossing budgets
+    assert r.n_link + r.n_nonlink + r.n_review == r.p + r.n
+    assert r.n_review >= 0
+
+
+def test_fs_thresholds_fixture_bounds_hold(spark):
+    """Fixture entry: the achieved conditional error rates respect
+    the requested budgets (mu_hat <= 1%, lam_hat <= 5%), the review
+    band is non-negative, and the partition is exhaustive."""
+    from semlink.queries.linkeval import rl_fs_thresholds
+    r = rl_fs_thresholds(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.mu_hat6 is not None and r.mu_hat6 <= 10_000
+    assert r.lam_hat6 is not None and r.lam_hat6 <= 50_000
+    assert r.n_review >= 0
+    assert r.n_link + r.n_nonlink + r.n_review == r.p + r.n
