@@ -52,6 +52,7 @@ HEADLINE = [
     "rl_cluster_metrics", "rl_golden_record",
     "rl_meta_blocking", "dedup_setsim_join", "rl_cluster_review",
     "agg_pricing_summary",
+    "rl_pprl_bloom", "rl_soft_tfidf",
 ]
 
 # headline entries that did not exist in the previous round's bench —
@@ -67,7 +68,15 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "rl_fellegi_sunter", "rl_blocking_quality",
                "rl_cluster_metrics", "rl_golden_record",
                "rl_meta_blocking", "dedup_setsim_join",
-               "rl_cluster_review"]
+               "rl_cluster_review",
+               # late round 5: PPRL Bloom/Dice (explode + position
+               # join) and soft-TF-IDF (Arrow JW kernel over token
+               # cross). The other late-r5 entries (incremental link,
+               # greedy 1:1, frequency weights, AUC, thresholds) are
+               # NOT benched: their cost is the same nation-blocked
+               # levenshtein candidate pass rl_fellegi_sunter already
+               # times (~25 s each at sf0.1), pure redundancy per draw
+               "rl_pprl_bloom", "rl_soft_tfidf"]
 
 
 def ensure_bench_fixture(spark) -> str:

@@ -242,9 +242,12 @@ def soft_tfidf(pairs: DataFrame, corpus: DataFrame,
         .cast("bigint").alias("_idf6"))
     w = tf.join(idf, "_t").select(
         "_doc", "_t", (F.col("_tf") * F.col("_idf6")).alias("_wq"))
-    norm = w.groupBy("_doc").agg(
-        F.sum(F.col("_wq") * F.col("_wq")).cast("bigint").alias("_n2"))
-    wn = w.join(norm, "_doc").select(
+    # norm via a doc-keyed window, not groupBy + self-join: the w
+    # subtree would otherwise appear twice per consumer (4 corpus
+    # passes in the pair plan instead of 2)
+    wn = w.withColumn(
+        "_n2", F.sum(F.col("_wq") * F.col("_wq"))
+        .over(Window.partitionBy("_doc")).cast("bigint")).select(
         "_doc", "_t", "_wq",
         (F.col("_wq").cast("double")
          / F.sqrt(F.col("_n2").cast("double"))).alias("_wn"))

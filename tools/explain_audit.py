@@ -241,6 +241,50 @@ def main():
                    "Exchange SinglePartition" not in p14
                    and "partial_count" in p14))
 
+    # 15. PPRL Bloom/Dice: the set-bit intersection is a hash equi
+    # join keyed on (pair, pos) — never a cartesian/nested-loop over
+    # pair bitmaps — and the Dice arithmetic stays JVM-side
+    from semlink.queries.linkeval import (rl_incremental_link,
+                                          rl_pprl_bloom)
+    p15 = formatted(rl_pprl_bloom(spark, sf))
+    sections["PPRL Bloom positions + Dice (X12)"] = p15
+    checks.append(("pprl position joins are hash equi joins, "
+                   "no cartesian / python eval",
+                   "CartesianProduct" not in p15
+                   and "BatchEvalPython" not in p15
+                   and "ArrowEvalPython" not in p15
+                   and "BroadcastNestedLoopJoin" not in p15))
+
+    # 16. incremental link: rank-1 assignment windows key on the new
+    # record id (hashpartitioning), never a SinglePartition sort;
+    # blocking + fill joins are equi joins
+    p16 = formatted(rl_incremental_link(spark, sf))
+    sections["incremental link (C15)"] = p16
+    checks.append(("incremental link windows keyed by record id, "
+                   "no SinglePartition exchange",
+                   "Exchange SinglePartition" not in p16
+                   and "CartesianProduct" not in p16))
+
+    # 17. soft-TF-IDF: exactly ONE Arrow kernel pass over the token
+    # cross; the only nested-loop joins are the two 1-row corpus-size
+    # broadcasts (one per pair side after the window-based norm)
+    from semlink.queries.rl import rl_soft_tfidf
+    p17 = formatted(rl_soft_tfidf(spark, sf))
+    sections["soft-TF-IDF (X14)"] = p17
+    import re
+
+    def _nodes(plan, name):
+        # formatted explain mentions each node in the tree AND in the
+        # details section — count numbered tree nodes only
+        return len(re.findall(rf"\(\d+\) {name}", plan))
+
+    checks.append(("soft-tfidf: one Arrow kernel pass, 1-row-only "
+                   "nested loops, no cartesian",
+                   _nodes(p17, "ArrowEvalPython") == 1
+                   and "BatchEvalPython" not in p17
+                   and "CartesianProduct" not in p17
+                   and _nodes(p17, "BroadcastNestedLoopJoin") <= 2))
+
     out = ["# PLANS — physical plan audit\n",
            "Generated by tools/explain_audit.py. Checks:\n"]
     ok = True
