@@ -435,15 +435,21 @@ def fs_frequency_weights(pairs: DataFrame, recs: DataFrame, field: str,
 
     as scaled-bigint ``w_<field>6`` plus the agreement flag and the
     agreed value's count ``fv_<field>`` (NULL on disagreement). NULL
-    field values never agree (SQL semantics, both engines). The
+    field values never agree (SQL semantics, both engines) and are
+    excluded from n and sum(f_v^2) — u is over ACTUAL values. The
     value-frequency table joins on the left value with no broadcast
     hint — its cardinality is field-dependent and AQE picks the
     strategy; the 1-row (n, sum f^2) stats table is the sanctioned
     1-row broadcast crossJoin."""
     vl, vr = f"{field}{left_suffix}", f"{field}{right_suffix}"
     pre = out_prefix or field
-    freq = recs.groupBy(F.col(field).alias("_val")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_fv"))
+    # NULL field values never agree, so they belong in NEITHER the
+    # value frequencies nor the n / sum(f^2) totals — otherwise a
+    # sparse field's u_glob absorbs the NULL mass as phantom
+    # "agreement" and every u(v) deflates (review r5 finding)
+    freq = (recs.filter(F.col(field).isNotNull())
+            .groupBy(F.col(field).alias("_val"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_fv")))
     stats = freq.agg(
         F.sum("_fv").cast("bigint").alias("_n"),
         F.sum(F.col("_fv") * F.col("_fv")).cast("bigint").alias("_ssq"))
@@ -540,8 +546,10 @@ def fs_thresholds(pairs: DataFrame, score_col: str,
         .rowsBetween(Window.unboundedPreceding, 0)
     wa = Window.orderBy(F.asc(score_col)) \
         .rowsBetween(Window.unboundedPreceding, 0)
-    tot = pairs.agg(F.sum(y).cast("bigint").alias("tp_all"),
-                    F.sum(1 - y).cast("bigint").alias("tn_all"))
+    # class totals from the histogram, NOT a second pass over the
+    # (possibly expensive, uncached) pair lineage (review r5 finding)
+    tot = hist.agg(F.sum("p_s").cast("bigint").alias("tp_all"),
+                   F.sum("n_s").cast("bigint").alias("tn_all"))
     c = (hist.crossJoin(F.broadcast(tot))
          .withColumn("cfp", F.sum("n_s").over(wd).cast("bigint"))
          .withColumn("cfn", F.sum("p_s").over(wa).cast("bigint")))

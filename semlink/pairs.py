@@ -245,12 +245,17 @@ def soft_tfidf(pairs: DataFrame, corpus: DataFrame,
     # norm via a doc-keyed window, not groupBy + self-join: the w
     # subtree would otherwise appear twice per consumer (4 corpus
     # passes in the pair plan instead of 2)
+    # a doc whose every token is corpus-universal (all idf6 = 0) has
+    # zero norm and no defined direction: weights 0, contributions 0
+    # — never 0.0/0.0 NaN, which casts engine-dependently (review r5)
     wn = w.withColumn(
         "_n2", F.sum(F.col("_wq") * F.col("_wq"))
         .over(Window.partitionBy("_doc")).cast("bigint")).select(
         "_doc", "_t", "_wq",
-        (F.col("_wq").cast("double")
-         / F.sqrt(F.col("_n2").cast("double"))).alias("_wn"))
+        F.when(F.col("_n2") > 0,
+               F.col("_wq").cast("double")
+               / F.sqrt(F.col("_n2").cast("double")))
+        .otherwise(F.lit(0.0)).alias("_wn"))
     ta = wn.select(F.col("_doc").alias(a_col), F.col("_t").alias("_ta"),
                    F.col("_wn").alias("_wna"))
     tb = wn.select(F.col("_doc").alias(b_col), F.col("_t").alias("_tb"),

@@ -400,20 +400,33 @@ def rl_cluster_review(spark, sf_dir):
 _MR_LEV = 2          # name-agreement edit distance
 _MR_BAL = 100        # balance-agreement absolute difference (cents)
 
-_MR_RULE = f"""(CASE WHEN levenshtein(l.name, r.name) <= {_MR_LEV}
+# ONE SQL agreement-count expression; the match rule and the ranking
+# score both derive from it so the three clauses can never
+# desynchronize across entries (review r5 finding)
+_MR_TERMS = f"""(CASE WHEN levenshtein(l.name, r.name) <= {_MR_LEV}
                  THEN 1 ELSE 0 END
           + CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END
           + CASE WHEN abs(l.bal_cents - r.bal_cents) <= {_MR_BAL}
-                 THEN 1 ELSE 0 END) >= 2"""
+                 THEN 1 ELSE 0 END)"""
+
+_MR_RULE = f"{_MR_TERMS} >= 2"
+
+_MR_SCORE = f"CAST({_MR_TERMS} AS BIGINT)"
+
+
+def _mr_score_col():
+    """Spark mirror of _MR_TERMS as a BIGINT agreement count — shared
+    by every entry that ranks or gates on the 2-of-3 rule."""
+    return ((F.levenshtein("name_l", "name_r") <= _MR_LEV).cast("int")
+            + (F.col("seg_l") == F.col("seg_r")).cast("int")
+            + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r"))
+               <= _MR_BAL).cast("int")).cast("bigint")
 
 
 def _mr_match(p):
     """2-of-3 field agreement (name lev<={lev}, segment equality,
     balance within {bal} cents) — the Spark mirror of _MR_RULE."""
-    return ((F.levenshtein("name_l", "name_r") <= _MR_LEV).cast("int")
-            + (F.col("seg_l") == F.col("seg_r")).cast("int")
-            + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r"))
-               <= _MR_BAL).cast("int")) >= 2
+    return _mr_score_col() >= 2
 
 
 _mr_match.__doc__ = _mr_match.__doc__.format(lev=_MR_LEV, bal=_MR_BAL)
@@ -494,13 +507,6 @@ def rl_merge_rematch(spark, sf_dir):
         ckpt_dir=tempfile.mkdtemp(prefix="semlink_mr_"))
 
 
-_MR_SCORE = f"""CAST((CASE WHEN levenshtein(l.name, r.name) <= {_MR_LEV}
-                 THEN 1 ELSE 0 END
-          + CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END
-          + CASE WHEN abs(l.bal_cents - r.bal_cents) <= {_MR_BAL}
-                 THEN 1 ELSE 0 END) AS BIGINT)"""
-
-
 @q("rl_incremental_link", f"""
   {_RECS_SQL},
   o AS (SELECT rec_id AS cluster_id, name, seg, bal_cents, nat
@@ -535,13 +541,9 @@ def rl_incremental_link(spark, sf_dir):
     new = recs.filter(F.col("rec_id") % 2 == 1)
     reps = orig.select(F.col("rec_id").alias("cluster_id"),
                        "name", "seg", "bal_cents", "nat")
-    score = ((F.levenshtein("name_l", "name_r") <= _MR_LEV).cast("int")
-             + (F.col("seg_l") == F.col("seg_r")).cast("int")
-             + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r"))
-                <= _MR_BAL).cast("int")).cast("bigint")
     return incremental_link(
         new, reps, scheme=lambda df: F.col("nat").cast("string"),
-        match_cond=_mr_match, score_col=score,
+        match_cond=_mr_match, score_col=_mr_score_col(),
         carry_cols=("name", "seg", "bal_cents"))
 
 
@@ -609,11 +611,7 @@ def rl_one_to_one_greedy(spark, sf_dir):
                       F.col("bal_cents").alias("bal_cents_r"))
     cand = lft.join(rgt, "nat")
     cand = cand.filter(_mr_match(cand)).withColumn(
-        "score",
-        ((F.levenshtein("name_l", "name_r") <= _MR_LEV).cast("int")
-         + (F.col("seg_l") == F.col("seg_r")).cast("int")
-         + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r"))
-            <= _MR_BAL).cast("int")).cast("bigint"))
+        "score", _mr_score_col())
     return greedy_one_to_one(
         cand.select("rec_l", "rec_r", "score"),
         max_rounds=_O2O_ROUNDS)
@@ -672,9 +670,9 @@ _TH_LAM6 = 50_000   # FS non-link false-non-match bound (5%)
   hist AS (SELECT fs6, CAST(sum(is_match) AS BIGINT) AS p_s,
                   CAST(sum(1 - is_match) AS BIGINT) AS n_s
            FROM scored GROUP BY fs6),
-  tot AS (SELECT CAST(sum(is_match) AS BIGINT) AS tp_all,
-                 CAST(sum(1 - is_match) AS BIGINT) AS tn_all
-          FROM scored),
+  tot AS (SELECT CAST(sum(p_s) AS BIGINT) AS tp_all,
+                 CAST(sum(n_s) AS BIGINT) AS tn_all
+          FROM hist),
   c AS (SELECT *,
           CAST(sum(n_s) OVER (ORDER BY fs6 DESC ROWS BETWEEN UNBOUNDED
                PRECEDING AND CURRENT ROW) AS BIGINT) AS cfp,
@@ -753,11 +751,11 @@ def _fq_field(fld: str, f_al: str, s_al: str) -> str:
 @q("rl_fs_frequency", f"""
   {_RECS_SQL},
   fseg AS (SELECT seg AS val, CAST(count(*) AS BIGINT) AS fv
-           FROM recs GROUP BY seg),
+           FROM recs WHERE seg IS NOT NULL GROUP BY seg),
   sseg AS (SELECT CAST(sum(fv) AS BIGINT) AS n,
                   CAST(sum(fv * fv) AS BIGINT) AS ssq FROM fseg),
   fnat AS (SELECT nat AS val, CAST(count(*) AS BIGINT) AS fv
-           FROM recs GROUP BY nat),
+           FROM recs WHERE nat IS NOT NULL GROUP BY nat),
   snat AS (SELECT CAST(sum(fv) AS BIGINT) AS n,
                   CAST(sum(fv * fv) AS BIGINT) AS ssq FROM fnat),
   cand AS (SELECT l.rec_id AS rec_l, r.rec_id AS rec_r,

@@ -333,7 +333,10 @@ def rl_dict_stats(spark, sf_dir):
   nrm AS (SELECT doc, CAST(sum(wq * wq) AS BIGINT) AS n2
           FROM w GROUP BY doc),
   wn AS (SELECT w.doc, w.t, w.wq,
-                CAST(w.wq AS DOUBLE) / sqrt(CAST(nrm.n2 AS DOUBLE)) AS wn
+                CASE WHEN nrm.n2 > 0
+                     THEN CAST(w.wq AS DOUBLE)
+                          / sqrt(CAST(nrm.n2 AS DOUBLE))
+                     ELSE CAST(0.0 AS DOUBLE) END AS wn
          FROM w JOIN nrm ON nrm.doc = w.doc),
   prs AS (SELECT d1.doc AS a, d2.doc AS b
           FROM docs d1 JOIN docs d2

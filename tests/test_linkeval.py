@@ -639,3 +639,23 @@ def test_fs_thresholds_fixture_bounds_hold(spark):
     assert r.lam_hat6 is not None and r.lam_hat6 <= 50_000
     assert r.n_review >= 0
     assert r.n_link + r.n_nonlink + r.n_review == r.p + r.n
+
+
+def test_fs_frequency_null_values_excluded_from_totals(spark):
+    """NULL field values are excluded from n and sum(f^2): with 3
+    'a', 1 'b' and 6 NULLs, u('a') = 3/4 (not 3/10) and the global
+    disagreement u = (9+1)/16 — a NULL-heavy sparse field must not
+    absorb NULL mass as phantom agreement."""
+    import math
+    from semlink.linkeval import fs_frequency_weights
+    recs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")]
+        + [(10 + i, None) for i in range(6)], "rec_id long, v string")
+    pairs = spark.createDataFrame(
+        [(1, 2, "a", "a"), (1, 4, "a", "b")],
+        "rec_l long, rec_r long, v_l string, v_r string")
+    rows = {(r.rec_l, r.rec_r): r
+            for r in fs_frequency_weights(pairs, recs, "v").collect()}
+    assert rows[(1, 2)].w_v6 == round(1e6 * math.log(0.95 / (3 / 4)))
+    assert rows[(1, 4)].w_v6 == round(
+        1e6 * math.log((1.0 - 0.95) / (1.0 - 10 / 16)))

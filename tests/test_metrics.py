@@ -172,3 +172,21 @@ def test_jw_batch_all_short_side_no_crash():
     # 'mar' is a clean 3-char prefix of 'martha': jaro = (3/6+3/3+3/3)/3
     j = (0.5 + 1 + 1) / 3
     assert abs(fwd[2] - (j + 0.3 * (1 - j))) < 1e-12
+
+
+def test_soft_tfidf_zero_idf_doc_scores_zero(spark):
+    """A document whose every token is corpus-universal has zero
+    TF-IDF norm: its weights are defined as 0 (no NaN through the
+    0/0 divide), so pairs involving it score exactly 0 while normal
+    pairs are unaffected."""
+    from semlink.pairs import soft_tfidf
+    docs = ["acme", "acme west", "acme westt"]
+    ddf = spark.createDataFrame([(d,) for d in docs], "doc string")
+    pdf = spark.createDataFrame(
+        [("acme", "acme west"), ("acme west", "acme westt")],
+        "a string, b string")
+    got = {(r.a, r.b): r.st6
+           for r in soft_tfidf(pdf, ddf, "a", "b").collect()}
+    assert got[("acme", "acme west")] == 0       # zero-norm doc
+    # west/westt clear theta (JW ~0.96), both carry idf -> positive
+    assert got[("acme west", "acme westt")] > 0
