@@ -333,3 +333,80 @@ def dedup_decontaminate(spark, sf_dir):
     d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return dd.cross_corpus_overlap(d, bench)
+
+
+# Canopy constants — shared verbatim with the oracle. Loose T1 admits
+# the background shared-shingle noise floor's upper edge; tight T2
+# sits in the bimodal gap below the planted near-dup mass (measured
+# at sf0.001: background pairs <= ~4 shared shingles, near-dups >= 20).
+_CANOPY_T1 = 4
+_CANOPY_T2 = 20
+_CANOPY_ROUNDS = 4   # oracle unroll bound; Spark raises past it
+
+
+def _canopy_oracle() -> str:
+    """Unrolled id-ordered greedy center election (= greedy MIS of
+    the T2 graph by iterated local minima) + T1 membership, the
+    mirror of canopy.canopy_members. Rounds past convergence run on
+    empty pools and add nothing."""
+    head = f"""
+  WITH sh0 AS ({_SHINGLE_SQL}),
+  shx AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+  sims AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                  CAST(count(*) AS BIGINT) AS sim
+           FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+  adj2 AS (SELECT id_l AS src, id_r AS dst FROM sims
+           WHERE sim >= {_CANOPY_T2}
+           UNION ALL
+           SELECT id_r, id_l FROM sims WHERE sim >= {_CANOPY_T2}),
+  adj1 AS (SELECT id_l AS src, id_r AS dst FROM sims
+           WHERE sim >= {_CANOPY_T1}
+           UNION ALL
+           SELECT id_r, id_l FROM sims WHERE sim >= {_CANOPY_T1}),
+  p0 AS (SELECT doc_id AS v FROM documents)"""
+    parts = [head]
+    for i in range(1, _CANOPY_ROUNDS + 1):
+        p = i - 1
+        parts.append(f""",
+  e{i} AS (SELECT p.v FROM p{p} p
+           WHERE NOT EXISTS (SELECT 1 FROM adj2 a JOIN p{p} q
+                             ON a.dst = q.v
+                             WHERE a.src = p.v AND a.dst < p.v)),
+  p{i} AS (SELECT v FROM p{p}
+           WHERE v NOT IN (SELECT v FROM e{i})
+             AND v NOT IN (SELECT a.dst FROM adj2 a
+                           JOIN e{i} c ON a.src = c.v))""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT v FROM e{i}" for i in range(1, _CANOPY_ROUNDS + 1))
+    parts.append(f""",
+  centers AS ({union})
+  SELECT c.v AS center_id, a.dst AS member_id
+  FROM centers c JOIN adj1 a ON a.src = c.v
+  UNION ALL
+  SELECT v AS center_id, v AS member_id FROM centers""")
+    return "".join(parts)
+
+
+@q("dedup_canopy", _canopy_oracle())
+def dedup_canopy(spark, sf_dir):
+    """Canopy pre-blocking (canopy.canopy_members, McCallum '00)
+    over the documents corpus: cheap similarity = shared distinct
+    3-token shingles, centers elected by id-ordered greedy MIS of
+    the tight-threshold graph (distributed via iterated local
+    minima, bit-identical to the sequential scan), membership at the
+    loose threshold with overlap. Registry + pytest + oracle
+    verified on demand; demoted from the full driver window (see
+    __spark_entry__)."""
+    from ..canopy import canopy_members
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles_exploded(docs).distinct()
+    a = sh.select(F.col("doc_id").alias("id_l"), "s")
+    b = sh.select(F.col("doc_id").alias("id_r"), "s")
+    sims = (a.join(b, "s")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sim")))
+    return canopy_members(docs.select("doc_id"), sims,
+                          t1=_CANOPY_T1, t2=_CANOPY_T2,
+                          max_rounds=_CANOPY_ROUNDS)

@@ -1,0 +1,103 @@
+"""Canopy clustering (semlink.canopy): the distributed center
+election must equal the sequential id-ordered McCallum scan, canopies
+must overlap where the similarity says so, and every record must land
+in at least one canopy."""
+from pyspark.sql import functions as F
+
+from semlink.canopy import canopy_members
+
+
+def _seq_canopy(ids, sims, t1, t2):
+    """Sequential id-ordered McCallum reference: pool scan ascending,
+    T2 removes from pool, T1 joins the canopy (overlapping)."""
+    n2 = {i: set() for i in ids}
+    n1 = {i: set() for i in ids}
+    for a, b, s in sims:
+        if s >= t2:
+            n2[a].add(b)
+            n2[b].add(a)
+        if s >= t1:
+            n1[a].add(b)
+            n1[b].add(a)
+    pool = set(ids)
+    out = set()
+    for v in sorted(ids):
+        if v not in pool:
+            continue
+        pool.discard(v)
+        pool -= n2[v]
+        out.add((v, v))
+        for m in n1[v]:
+            out.add((v, m))
+    return out
+
+
+def test_canopy_equals_sequential_scan(spark):
+    """On md5-free deterministic pseudo-random similarities over 40
+    records, iterated local minima == the sequential scan, including
+    chains where electing one center exposes the next."""
+    ids = list(range(40))
+    sims = []
+    for a in range(40):
+        for b in range(a + 1, 40):
+            h = (a * 7919 + b * 104729) % 97
+            if h < 30:
+                sims.append((a, b, h))
+    t1, t2 = 5, 20
+    want = _seq_canopy(ids, sims, t1, t2)
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    sdf = spark.createDataFrame(sims, "id_l long, id_r long, sim long")
+    got = {(r.center_id, r.member_id)
+           for r in canopy_members(idf, sdf, t1, t2).collect()}
+    assert got == want
+
+
+def test_canopy_chain_and_overlap(spark):
+    """A T2 chain 0-1-2-3: round 1 elects 0 (and removes 1), round 2
+    elects 2 (removes 3) — two rounds, centers {0, 2}. Record 1 is
+    T1-near both centers -> overlapping membership. Isolated record
+    9 becomes its own singleton canopy."""
+    idf = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 9)],
+                                "doc_id long")
+    sdf = spark.createDataFrame(
+        [(0, 1, 25), (1, 2, 25), (2, 3, 25)],
+        "id_l long, id_r long, sim long")
+    rows = canopy_members(idf, sdf, t1=10, t2=20).collect()
+    centers = {r.center_id for r in rows}
+    assert centers == {0, 2, 9}
+    mem = {(r.center_id, r.member_id) for r in rows}
+    assert (0, 1) in mem and (2, 1) in mem      # overlap on record 1
+    assert (9, 9) in mem
+    # every record covered
+    assert {m for _, m in mem} == {0, 1, 2, 3, 9}
+
+
+def test_canopy_fixture_full_coverage_and_dup_capture(spark):
+    """dedup_canopy at sf0.001: every document is a member of at
+    least one canopy, canopies overlap is possible but centers are
+    an independent set of the T2 graph (no two centers share a T2
+    edge), and near-dup pairs (>= T2 shared shingles) always share
+    a canopy."""
+    from semlink.queries.dedup import _CANOPY_T2, dedup_canopy
+    from semlink.queries import _docs
+    import semlink.datapipe.dedup as dd
+    sf = "/root/testdata/sf0.001"
+    rows = dedup_canopy(spark, sf).collect()
+    mem = {}
+    for r in rows:
+        mem.setdefault(r.member_id, set()).add(r.center_id)
+    docs = _docs(spark, sf)
+    n_docs = docs.count()
+    assert len(mem) == n_docs                    # full coverage
+    sh = dd.shingles_exploded(docs).distinct()
+    a = sh.select(F.col("doc_id").alias("id_l"), "s")
+    b = sh.select(F.col("doc_id").alias("id_r"), "s")
+    t2pairs = (a.join(b, "s").filter(F.col("id_l") < F.col("id_r"))
+               .groupBy("id_l", "id_r").agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") >= _CANOPY_T2).collect())
+    assert t2pairs                               # planted dups exist
+    centers = {r.center_id for r in rows}
+    for p in t2pairs:
+        assert mem[p.id_l] & mem[p.id_r], (p.id_l, p.id_r)
+        assert not (p.id_l in centers and p.id_r in centers), \
+            "two T2-adjacent centers"
