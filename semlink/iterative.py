@@ -115,7 +115,8 @@ def incremental_link(new_recs: DataFrame, reps: DataFrame,
 def greedy_one_to_one(pairs: DataFrame,
                       left_col: str = "rec_l", right_col: str = "rec_r",
                       score_col: str = "score",
-                      max_rounds: int = 64) -> DataFrame:
+                      max_rounds: int = 64,
+                      group_cols: Sequence[str] = ()) -> DataFrame:
     """One-to-one linkage by EXACT distributed greedy matching.
 
     The batch pipeline's transitive clustering and the incremental
@@ -150,26 +151,38 @@ def greedy_one_to_one(pairs: DataFrame,
     materialization; restart-safety belongs to the caller's
     checkpoint of the RESULT, as with run_connected_components).
 
-    Returns one row per accepted pair: (left, right, score, rnd)
-    with rnd = the 1-based round the pair became locally dominant.
+    Returns one row per accepted pair: (*group_cols, left, right,
+    score, rnd) with rnd = the 1-based round the pair became locally
+    dominant.
+
+    ``group_cols`` runs MANY independent matchings at once — one per
+    distinct group-key combination (the group-linkage shape: every
+    (group_l, group_r) candidate pair carries its own bipartite
+    member matching). Windows partition by (group, endpoint) and
+    removals join on (group, endpoint), so groups never interact;
+    the round count is the max over groups and the convergence probe
+    stays one global 0/1-row action.
     """
+    g = [F.col(c) for c in group_cols]
     lc, rc, sc = F.col(left_col), F.col(right_col), F.col(score_col)
-    edges = pairs.select(lc, rc, sc)
+    edges = pairs.select(*g, lc, rc, sc)
+    gl = [*group_cols, left_col]
+    gr = [*group_cols, right_col]
     accepted = None
     for rnd in range(1, max_rounds + 1):
         dom = (edges.withColumn("_rl", F.row_number().over(
-                   Window.partitionBy(left_col)
+                   Window.partitionBy(*gl)
                    .orderBy(F.desc(score_col), F.asc(right_col))))
                .withColumn("_rr", F.row_number().over(
-                   Window.partitionBy(right_col)
+                   Window.partitionBy(*gr)
                    .orderBy(F.desc(score_col), F.asc(left_col))))
                .filter((F.col("_rl") == 1) & (F.col("_rr") == 1))
-               .select(lc, rc, sc, F.lit(rnd).alias("rnd"))
+               .select(*g, lc, rc, sc, F.lit(rnd).alias("rnd"))
                .localCheckpoint())  # consumed 3× per round (union + antis)
         accepted = dom if accepted is None else accepted.unionByName(dom)
         edges = (edges
-                 .join(dom.select(left_col), left_col, "left_anti")
-                 .join(dom.select(right_col), right_col, "left_anti")
+                 .join(dom.select(*gl), gl, "left_anti")
+                 .join(dom.select(*gr), gr, "left_anti")
                  .localCheckpoint())
         # bounded action: 0/1-row convergence probe, never the pairs
         if edges.limit(1).count() == 0:
@@ -246,3 +259,54 @@ def merge_rematch(recs: DataFrame,
         # _SUCCESS-gated commit: the resume point for this iteration
         assign = io.checkpoint(assign, f"assign_iter_{i}")
     return assign
+
+
+def group_linkage(members: DataFrame, sizes: DataFrame,
+                  group_left: str = "grp_l", group_right: str = "grp_r",
+                  left_col: str = "rec_l", right_col: str = "rec_r",
+                  score_col: str = "score",
+                  id_col: str = "grp_id", size_col: str = "n",
+                  max_rounds: int = 64) -> DataFrame:
+    """Group linkage (On, Koudas, Lee, Srivastava et al., ICDE 2007):
+    decide whether two GROUPS of records (accounts, households,
+    conversations) refer to the same entity by matching their members
+    one-to-one and normalizing the matched mass by group size.
+
+    ``members``: candidate member pairs carrying the two group keys,
+    the two member record ids, and an integer score; ``sizes``:
+    (grp_id, n) member counts per group. Every (group_l, group_r)
+    combination gets its OWN exact greedy one-to-one matching (the
+    ``group_cols`` mode of :func:`greedy_one_to_one` — windows and
+    removals keyed per group pair, so matchings never interact), then
+
+        dice6    = floor(2e6 * matched / (n_l + n_r))
+        score_sum = sum of matched pair scores          (exact BIGINT)
+
+    per group pair. Groups with candidate members but zero surviving
+    matches still report a row (matched = 0). Scale: the matching
+    rounds are the greedy loop's windows/anti-joins keyed by (group
+    pair, endpoint); the rollup is ONE groupBy(group pair) plus two
+    joins against the (small) size table."""
+    matched = greedy_one_to_one(
+        members, left_col=left_col, right_col=right_col,
+        score_col=score_col, max_rounds=max_rounds,
+        group_cols=(group_left, group_right))
+    agg = (members.select(group_left, group_right).distinct()
+           .join(matched.groupBy(group_left, group_right).agg(
+               F.count(F.lit(1)).cast("bigint").alias("matched"),
+               F.sum(score_col).cast("bigint").alias("score_sum")),
+               [group_left, group_right], "left"))
+    sl = sizes.select(F.col(id_col).alias(group_left),
+                      F.col(size_col).cast("bigint").alias("n_l"))
+    sr = sizes.select(F.col(id_col).alias(group_right),
+                      F.col(size_col).cast("bigint").alias("n_r"))
+    out = (agg.join(sl, group_left).join(sr, group_right)
+           .select(group_left, group_right,
+                   F.coalesce("matched", F.lit(0)).cast("bigint")
+                   .alias("matched"),
+                   F.coalesce("score_sum", F.lit(0)).cast("bigint")
+                   .alias("score_sum"),
+                   "n_l", "n_r"))
+    return out.withColumn(
+        "dice6",
+        F.expr("(2 * CAST(1000000 AS BIGINT) * matched) div (n_l + n_r)"))

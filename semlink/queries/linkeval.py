@@ -1044,3 +1044,99 @@ def rl_golden_record(spark, sf_dir):
     recs = _records(spark, sf_dir)
     return golden_records(recs, "ent_id", shortest_cols=("name",),
                           mode_cols=("seg",), max_cols=("bal_cents",))
+
+
+_GL_ROUNDS = 4   # oracle unroll bound for the per-group matchings
+_GL_BAL = 500    # member value-agreement band (cents)
+
+
+def _gl_oracle() -> str:
+    """Unrolled per-group-pair greedy matching + Dice rollup, mirror
+    of iterative.group_linkage over the events fixture: members block
+    on (event_type, props.k), score = 1 + value-band agreement, each
+    (grp_l, grp_r) pair carries its own independent matching."""
+    parts = [f"""
+  WITH base AS (SELECT event_id, user_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS k
+                FROM events),
+  m0 AS (SELECT l.user_id AS grp_l, r.user_id AS grp_r,
+                l.event_id AS rec_l, r.event_id AS rec_r,
+                CAST(1 + CASE WHEN abs(l.cents - r.cents) <= {_GL_BAL}
+                         THEN 1 ELSE 0 END AS BIGINT) AS score
+         FROM base l JOIN base r
+           ON l.event_type = r.event_type AND l.k = r.k
+          AND l.user_id < r.user_id)"""]
+    for i in range(1, _GL_ROUNDS + 1):
+        p = i - 1
+        parts.append(f""",
+  a{i} AS (SELECT grp_l, grp_r, rec_l, rec_r, score FROM (
+            SELECT *,
+              row_number() OVER (PARTITION BY grp_l, grp_r, rec_l
+                                 ORDER BY score DESC, rec_r) AS rl,
+              row_number() OVER (PARTITION BY grp_l, grp_r, rec_r
+                                 ORDER BY score DESC, rec_l) AS rr
+            FROM m{p}) WHERE rl = 1 AND rr = 1),
+  m{i} AS (SELECT e.* FROM m{p} e
+           WHERE NOT EXISTS (SELECT 1 FROM a{i} a
+                  WHERE a.grp_l = e.grp_l AND a.grp_r = e.grp_r
+                    AND a.rec_l = e.rec_l)
+             AND NOT EXISTS (SELECT 1 FROM a{i} a
+                  WHERE a.grp_l = e.grp_l AND a.grp_r = e.grp_r
+                    AND a.rec_r = e.rec_r))""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM a{i}" for i in range(1, _GL_ROUNDS + 1))
+    parts.append(f""",
+  acc AS ({union}),
+  sizes AS (SELECT user_id AS gid, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY user_id),
+  gp AS (SELECT DISTINCT grp_l, grp_r FROM m0),
+  agg AS (SELECT grp_l, grp_r, CAST(count(*) AS BIGINT) AS matched,
+                 CAST(sum(score) AS BIGINT) AS score_sum
+          FROM acc GROUP BY grp_l, grp_r)
+  SELECT g.grp_l, g.grp_r,
+         CAST(coalesce(a.matched, 0) AS BIGINT) AS matched,
+         CAST(coalesce(a.score_sum, 0) AS BIGINT) AS score_sum,
+         sl.n AS n_l, sr.n AS n_r,
+         (2 * CAST(1000000 AS BIGINT) * CAST(coalesce(a.matched, 0)
+             AS BIGINT)) // (sl.n + sr.n) AS dice6
+  FROM gp g
+  LEFT JOIN agg a ON a.grp_l = g.grp_l AND a.grp_r = g.grp_r
+  JOIN sizes sl ON sl.gid = g.grp_l
+  JOIN sizes sr ON sr.gid = g.grp_r""")
+    return "".join(parts)
+
+
+@q("rl_group_linkage", _gl_oracle())
+def rl_group_linkage(spark, sf_dir):
+    """Group linkage (iterative.group_linkage, On et al. ICDE '07)
+    over the events fixture: users are GROUPS of events; candidate
+    member pairs block on (event_type, props.k), score 1 + a
+    value-band agreement, and every user pair gets its own exact
+    greedy one-to-one member matching (group-keyed locally-dominant
+    rounds). Group similarity = member-Dice + matched score mass.
+    Registry + pytest + oracle verified on demand; demoted from the
+    full driver window (see __spark_entry__)."""
+    from ..iterative import group_linkage
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+    l = base.select(F.col("user_id").alias("grp_l"),
+                    F.col("event_id").alias("rec_l"),
+                    "event_type", "k", F.col("cents").alias("cents_l"))
+    r = base.select(F.col("user_id").alias("grp_r"),
+                    F.col("event_id").alias("rec_r"),
+                    "event_type", "k", F.col("cents").alias("cents_r"))
+    members = (l.join(r, ["event_type", "k"])
+               .filter(F.col("grp_l") < F.col("grp_r"))
+               .select("grp_l", "grp_r", "rec_l", "rec_r",
+                       (F.lit(1)
+                        + (F.abs(F.col("cents_l") - F.col("cents_r"))
+                           <= _GL_BAL).cast("int"))
+                       .cast("bigint").alias("score")))
+    sizes = base.groupBy(F.col("user_id").alias("grp_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    return group_linkage(members, sizes, max_rounds=_GL_ROUNDS)

@@ -659,3 +659,57 @@ def test_fs_frequency_null_values_excluded_from_totals(spark):
     assert rows[(1, 2)].w_v6 == round(1e6 * math.log(0.95 / (3 / 4)))
     assert rows[(1, 4)].w_v6 == round(
         1e6 * math.log((1.0 - 0.95) / (1.0 - 10 / 16)))
+
+
+# ------------------------------------------------- group linkage
+
+def test_group_linkage_hand_values(spark):
+    """Two group pairs resolved INDEPENDENTLY in one call: in
+    (10, 20) records a1/a2 match b1/b2 one-to-one (a contested b1 is
+    taken by the higher-score pair); in (10, 30) nothing survives.
+    Dice and score mass are exact integers."""
+    from semlink.iterative import group_linkage
+    members = spark.createDataFrame(
+        [(10, 20, 1, 101, 5), (10, 20, 1, 102, 3), (10, 20, 2, 101, 4),
+         (10, 30, 9, 201, 7)],
+        "grp_l long, grp_r long, rec_l long, rec_r long, score long")
+    # drop the (10,30) candidate via an empty-score trick? keep it:
+    # it matches (one candidate) -> matched=1 there.
+    sizes = spark.createDataFrame(
+        [(10, 3), (20, 2), (30, 4)], "grp_id long, n long")
+    rows = {(r.grp_l, r.grp_r): r
+            for r in group_linkage(members, sizes).collect()}
+    r1 = rows[(10, 20)]
+    # greedy order: (1,101,5) accepted; (2,101,4) blocked on 101;
+    # (1,102,3) blocked on rec_l 1 -> matched = 1? No: after round 1
+    # removes rec_l=1 and rec_r=101, (2,102) absent, so only 1 match.
+    assert (r1.matched, r1.score_sum) == (1, 5)
+    assert r1.dice6 == (2_000_000 * 1) // (3 + 2)
+    r2 = rows[(10, 30)]
+    assert (r2.matched, r2.score_sum) == (1, 7)
+    assert r2.dice6 == (2_000_000 * 1) // (3 + 4)
+
+
+def test_group_linkage_groups_do_not_interact(spark):
+    """The SAME record ids appearing in two different group pairs are
+    matched independently — group-keyed windows and removals."""
+    from semlink.iterative import greedy_one_to_one
+    members = spark.createDataFrame(
+        [(1, 2, 7, 70, 9), (3, 4, 7, 70, 1)],
+        "gl long, gr long, rec_l long, rec_r long, score long")
+    out = greedy_one_to_one(members, group_cols=("gl", "gr"))
+    assert out.count() == 2          # both accepted despite shared ids
+
+
+def test_group_linkage_fixture_properties(spark):
+    """rl_group_linkage at sf0.001: matched <= min(n_l, n_r) per user
+    pair (it is a matching), dice6 in [0, 1e6], score_sum between
+    matched and 2*matched, and identical-user-behavior pairs rank
+    above sparse ones on average (sanity, not a planted property)."""
+    from semlink.queries.linkeval import rl_group_linkage
+    rows = rl_group_linkage(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.matched <= min(r.n_l, r.n_r)
+        assert 0 <= r.dice6 <= 1_000_000
+        assert r.matched <= r.score_sum <= 2 * r.matched
