@@ -63,10 +63,14 @@ def canopy_members(ids: DataFrame, sims: DataFrame,
     if t2 < t1:
         raise ValueError("t2 (tight, pool removal) must be >= t1 (loose)")
     e2 = sims.filter(F.col(sim_col) >= t2)
+    # checkpoint the T2 adjacency once: every round fires several
+    # actions against it, and without the cut each one would re-run
+    # the caller's full sims lineage (e.g. the shingle self-join)
     adj = (e2.select(F.col(left_col).alias("src"),
                      F.col(right_col).alias("dst"))
            .unionByName(e2.select(F.col(right_col).alias("src"),
-                                  F.col(left_col).alias("dst"))))
+                                  F.col(left_col).alias("dst"))))\
+        .localCheckpoint()
     pool = ids.select(F.col(id_col).alias("v")).localCheckpoint()
     centers = None
     done = False

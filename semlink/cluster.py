@@ -496,10 +496,9 @@ def center_clusters(nodes: DataFrame, edges: DataFrame,
     e = edges.select(lc.alias("l"), rc.alias("r"), sc.alias("s")) \
         .localCheckpoint()
     state = None  # (v, c, ctr) — decided nodes only
-    done = False
+    done = e.limit(1).count() == 0
     for _ in range(max_rounds):
-        if e.limit(1).count() == 0:
-            done = True
+        if done:
             break
         sym = (e.select(F.col("l").alias("node"), "l", "r", "s")
                .unionByName(e.select(F.col("r").alias("node"),
@@ -564,6 +563,10 @@ def center_clusters(nodes: DataFrame, edges: DataFrame,
                        & F.col("_cv").isNotNull()))
              .select("l", "r", "s")
              .localCheckpoint())
+        # probe AFTER processing so a graph converging in exactly
+        # max_rounds rounds succeeds (matches the sibling loops and
+        # the unrolled oracle's round count)
+        done = e.limit(1).count() == 0
     if not done:
         raise RuntimeError(
             f"center_clusters did not converge in {max_rounds} rounds")

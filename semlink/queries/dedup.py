@@ -353,6 +353,21 @@ _SHSIMS_SQL = f"""sh0 AS ({_SHINGLE_SQL}),
            GROUP BY 1, 2)"""
 
 
+def _sh_sims(spark, sf_dir):
+    """Spark mirror of _SHSIMS_SQL: shared-distinct-shingle pair
+    similarity over documents — the cheap distance for BOTH canopy
+    and center clustering (one construction, two consumers)."""
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles_exploded(docs).distinct()
+    a = sh.select(F.col("doc_id").alias("id_l"), "s")
+    b = sh.select(F.col("doc_id").alias("id_r"), "s")
+    sims = (a.join(b, "s")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sim")))
+    return docs, sims
+
+
 def _canopy_oracle() -> str:
     """Unrolled id-ordered greedy center election (= greedy MIS of
     the T2 graph by iterated local minima) + T1 membership, the
@@ -403,14 +418,7 @@ def dedup_canopy(spark, sf_dir):
     verified on demand; demoted from the full driver window (see
     __spark_entry__)."""
     from ..canopy import canopy_members
-    docs = _docs(spark, sf_dir)
-    sh = dd.shingles_exploded(docs).distinct()
-    a = sh.select(F.col("doc_id").alias("id_l"), "s")
-    b = sh.select(F.col("doc_id").alias("id_r"), "s")
-    sims = (a.join(b, "s")
-            .filter(F.col("id_l") < F.col("id_r"))
-            .groupBy("id_l", "id_r")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("sim")))
+    docs, sims = _sh_sims(spark, sf_dir)
     return canopy_members(docs.select("doc_id"), sims,
                           t1=_CANOPY_T1, t2=_CANOPY_T2,
                           max_rounds=_CANOPY_ROUNDS)
@@ -486,14 +494,7 @@ def dedup_center_clusters(spark, sf_dir):
     pytest + oracle verified on demand; demoted from the full
     driver window (see __spark_entry__)."""
     from ..cluster import center_clusters
-    docs = _docs(spark, sf_dir)
-    sh = dd.shingles_exploded(docs).distinct()
-    a = sh.select(F.col("doc_id").alias("id_l"), "s")
-    b = sh.select(F.col("doc_id").alias("id_r"), "s")
-    sims = (a.join(b, "s")
-            .filter(F.col("id_l") < F.col("id_r"))
-            .groupBy("id_l", "id_r")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("sim")))
+    docs, sims = _sh_sims(spark, sf_dir)
     return center_clusters(
         docs.select("doc_id"), sims.filter(F.col("sim") >= _CANOPY_T2),
         max_rounds=_CENTER_ROUNDS)

@@ -155,6 +155,12 @@ def test_center_clusters_resists_chaining(spark):
     got = {r.doc_id: (r.cluster, r.is_center)
            for r in center_clusters(idf, edf).collect()}
     assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
+    # this graph converges in exactly ONE round (the weak edge is
+    # pruned by the member state, not processed) — a max_rounds=1
+    # run must succeed, not raise (post-processing probe regression)
+    got1 = {r.doc_id: (r.cluster, r.is_center)
+            for r in center_clusters(idf, edf, max_rounds=1).collect()}
+    assert got1 == got
 
 
 def test_center_clusters_fixture_vs_cc(spark):

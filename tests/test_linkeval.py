@@ -664,25 +664,22 @@ def test_fs_frequency_null_values_excluded_from_totals(spark):
 # ------------------------------------------------- group linkage
 
 def test_group_linkage_hand_values(spark):
-    """Two group pairs resolved INDEPENDENTLY in one call: in
-    (10, 20) records a1/a2 match b1/b2 one-to-one (a contested b1 is
-    taken by the higher-score pair); in (10, 30) nothing survives.
-    Dice and score mass are exact integers."""
+    """Two group pairs resolved INDEPENDENTLY in one call. In
+    (10, 20): greedy accepts (1, 101, 5); (2, 101, 4) is blocked on
+    the taken 101 and (1, 102, 3) on the taken record 1, and no
+    (2, 102) candidate exists, so exactly one match survives. In
+    (10, 30) the single candidate matches. Dice and score mass are
+    exact integers."""
     from semlink.iterative import group_linkage
     members = spark.createDataFrame(
         [(10, 20, 1, 101, 5), (10, 20, 1, 102, 3), (10, 20, 2, 101, 4),
          (10, 30, 9, 201, 7)],
         "grp_l long, grp_r long, rec_l long, rec_r long, score long")
-    # drop the (10,30) candidate via an empty-score trick? keep it:
-    # it matches (one candidate) -> matched=1 there.
     sizes = spark.createDataFrame(
         [(10, 3), (20, 2), (30, 4)], "grp_id long, n long")
     rows = {(r.grp_l, r.grp_r): r
             for r in group_linkage(members, sizes).collect()}
     r1 = rows[(10, 20)]
-    # greedy order: (1,101,5) accepted; (2,101,4) blocked on 101;
-    # (1,102,3) blocked on rec_l 1 -> matched = 1? No: after round 1
-    # removes rec_l=1 and rec_r=101, (2,102) absent, so only 1 match.
     assert (r1.matched, r1.score_sum) == (1, 5)
     assert r1.dice6 == (2_000_000 * 1) // (3 + 2)
     r2 = rows[(10, 30)]

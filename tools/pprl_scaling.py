@@ -20,7 +20,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-DOCS = "/tmp/semlink_pprl_docs"
+DOCS_BASE = "/tmp/semlink_pprl_docs"  # suffixed per replica count
 
 CHILD = r"""
 import sys, time
@@ -42,7 +42,10 @@ print(f"RESULT {time.time() - t0:.3f} {out}")
 def main():
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    if not os.path.isdir(DOCS):
+    # path carries the replica count — a cached corpus from a
+    # different scale can never be timed under the wrong label
+    docs = f"{DOCS_BASE}_x{replicas}"
+    if not os.path.isdir(docs):
         from semlink.session import get_spark
         from pyspark.sql import functions as F
         spark = get_spark("pprl-scaling-gen", cores=8)
@@ -52,7 +55,7 @@ def main():
         (d.crossJoin(reps_df)
          .select((F.col("doc_id") * replicas + F.col("_r"))
                  .alias("doc_id"), "text")
-         .repartition(64).write.mode("overwrite").parquet(DOCS))
+         .repartition(64).write.mode("overwrite").parquet(docs))
         spark.stop()
     times = {}
     check = set()
@@ -61,7 +64,7 @@ def main():
         for _ in range(reps):
             out = subprocess.run(
                 [sys.executable, "-c", CHILD % {"repo": REPO,
-                                                "docs": DOCS},
+                                                "docs": docs},
                  str(cores)],
                 capture_output=True, text=True, check=True)
             line = [ln for ln in out.stdout.splitlines()
