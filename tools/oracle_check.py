@@ -3,6 +3,15 @@ queries() entry and its oracle_sql() side by side, compare row count,
 sorted column names, and an order-insensitive value multiset.
 
 Usage: python tools/oracle_check.py [sf_dir] [name_filter ...]
+       python tools/oracle_check.py --registry [sf_dir] [filter ...]
+
+--registry widens the sweep from the driver contract to the FULL
+query REGISTRY — i.e. it also verifies the oracle-backed entries that
+are deliberately demoted from the driver's recording window (the
+"verified on demand" class documented in SURVEY §2). Oracle SQL is
+evaluated FIRST, before the Spark session exists, because several
+demoted oracles are unrolled iterative CTE chains and the two engines
+competing for file handles on this VM can EMFILE DuckDB.
 """
 from __future__ import annotations
 
@@ -87,24 +96,48 @@ def type_mismatches(spark_df, con, sql):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    registry_mode = "--registry" in args
+    args = [a for a in args if a != "--registry"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:]
 
     import __spark_entry__ as entrymod
     from semlink.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if registry_mode:
+        from semlink.queries import REGISTRY
+        queries = {n: fn for n, (fn, _) in REGISTRY.items()}
+        oracles = {n: sql for n, (_, sql) in REGISTRY.items()
+                   if sql is not None}
+        oracles.update(entrymod.oracle_sql())  # golden-constant oracles
+    else:
+        queries = entrymod.queries()
+        oracles = entrymod.oracle_sql()
+
+    selected = [n for n in queries
+                if not names or any(m in n for m in names)]
+
+    # DuckDB pass first (see module docstring: EMFILE vs the JVM)
+    duck = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    failures = []
-    for name, fn in queries.items():
-        if names and not any(n in name for n in names):
+    for name in selected:
+        if name not in oracles:
             continue
+        try:
+            res = con.execute(oracles[name])
+            duck[name] = ([d[0] for d in res.description],
+                          res.fetchall(), None)
+        except Exception as e:
+            duck[name] = (None, None, e)
+
+    spark = get_spark("oracle-check")
+    failures = []
+    for name in selected:
+        fn = queries[name]
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -118,13 +151,10 @@ def main():
             print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, "
                   f"{time.time() - t0:.1f}s) — no oracle")
             continue
-        try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
-        except Exception as e:
+        duck_cols, duck_rows, duck_err = duck[name]
+        if duck_err is not None:
             failures.append(name)
-            print(f"FAIL {name}: duckdb error {e}")
+            print(f"FAIL {name}: duckdb error {duck_err}")
             continue
         sc, sr = normalize_rows(spark_cols, spark_rows)
         dc, dr = normalize_rows(duck_cols, duck_rows)
