@@ -590,3 +590,45 @@ def fs_thresholds(pairs: DataFrame, score_col: str,
         F.when(F.col("p") > 0,
                F.expr("(1000000 * fn) div p")).cast("bigint")
         .alias("lam_hat6"))
+
+
+# -------------------------------------------------- temporal decay
+# Li, Dong, Maurino & Srivastava ("Linking temporal records", VLDB
+# 2011): evidence from a field comparison weakens with the TIME GAP
+# between the two records — people move, values drift — so both the
+# agreement reward and the disagreement penalty decay toward zero as
+# |t_l - t_r| grows, with separate rates (disagreement decays faster:
+# a name mismatch across years is weak evidence AGAINST a match).
+# This is the exponential-decay instantiation over the FS weight.
+
+
+def time_decayed_weight(agree, ts_l: str, ts_r: str,
+                        m: float = 0.9, u: float = 0.3,
+                        agree_half_life_days: float = 30.0,
+                        dis_half_life_days: float = 10.0):
+    """(dt_days, w_static, w_decayed) column triple for one field:
+
+        w_static  = agree ? ln(m/u) : ln((1-m)/(1-u))
+        w_decayed = w_static * exp(-ln(2)/half_life * dt_days)
+
+    with the branch-specific half life. Timestamps convert via
+    CAST(ts AS DOUBLE) — fractional epoch seconds, bit-equal to the
+    oracle's epoch() (both are micros / 1e6 in IEEE doubles) — and
+    every constant is built from the same literal arithmetic shapes
+    the oracle spells out, so the quantized weights hash-match.
+    Callers quantize: round(w * 1e6)::bigint. Parquet timestamps
+    arrive as TIMESTAMP_NTZ, which Spark refuses to cast straight to
+    DOUBLE — the ltz hop is exact because the session timezone is
+    pinned to UTC (session.py), matching the oracle's naive epoch().
+    """
+    def ep(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    dt = F.abs(ep(ts_l) - ep(ts_r)) / F.lit(86400.0)
+    mlit, ulit = F.lit(float(m)), F.lit(float(u))
+    w_static = F.when(agree, F.log(mlit / ulit)) \
+        .otherwise(F.log((F.lit(1.0) - mlit) / (F.lit(1.0) - ulit)))
+    lam_a = F.log(F.lit(2.0)) / F.lit(float(agree_half_life_days))
+    lam_d = F.log(F.lit(2.0)) / F.lit(float(dis_half_life_days))
+    lam = F.when(agree, lam_a).otherwise(lam_d)
+    return dt, w_static, w_static * F.exp(-lam * dt)

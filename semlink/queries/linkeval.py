@@ -1140,3 +1140,74 @@ def rl_group_linkage(spark, sf_dir):
     sizes = base.groupBy(F.col("user_id").alias("grp_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"))
     return group_linkage(members, sizes, max_rounds=_GL_ROUNDS)
+
+
+_TD_M = "CAST(0.9 AS DOUBLE)"    # demo field m (documented constant)
+_TD_U = "CAST(0.3 AS DOUBLE)"    # demo field u
+_TD_LAM_A = "(ln(CAST(2 AS DOUBLE)) / CAST(30 AS DOUBLE))"  # agree HL
+_TD_LAM_D = "(ln(CAST(2 AS DOUBLE)) / CAST(10 AS DOUBLE))"  # disagree HL
+_TD_WS = f"""CASE WHEN f_val THEN ln({_TD_M} / {_TD_U})
+             ELSE ln((CAST(1.0 AS DOUBLE) - {_TD_M})
+                     / (CAST(1.0 AS DOUBLE) - {_TD_U})) END"""
+
+
+@q("rl_temporal_decay", f"""
+  WITH base AS (SELECT event_id, user_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS k,
+                       epoch(ts) AS es
+                FROM events),
+  p AS (SELECT l.event_id AS evt_l, r.event_id AS evt_r,
+               l.user_id = r.user_id AS same_user,
+               abs(l.cents - r.cents) <= {_GL_BAL} AS f_val,
+               abs(l.es - r.es) / CAST(86400 AS DOUBLE) AS dt
+        FROM base l JOIN base r
+          ON l.event_type = r.event_type AND l.k = r.k
+         AND l.event_id < r.event_id)
+  SELECT evt_l, evt_r, same_user, f_val,
+         CAST(round(dt * 1000000) AS BIGINT) AS dt6,
+         CAST(round(({_TD_WS}) * 1000000) AS BIGINT) AS w_static6,
+         CAST(round((({_TD_WS})
+              * exp(-(CASE WHEN f_val THEN {_TD_LAM_A}
+                      ELSE {_TD_LAM_D} END) * dt)) * 1000000)
+              AS BIGINT) AS w_decay6
+  FROM p
+""")
+def rl_temporal_decay(spark, sf_dir):
+    """Temporal decay linkage (linkeval.time_decayed_weight, Li-Dong-
+    Maurino-Srivastava VLDB '11) over event pairs blocked on
+    (event_type, props.k): the value-band agreement weight and the
+    disagreement penalty both decay exponentially with the time gap
+    between the two records — disagreement faster (half-life 10 vs
+    30 days), because a mismatch across a long gap is weak evidence
+    against a match. Registry + pytest + oracle verified on demand;
+    demoted from the full driver window (see __spark_entry__)."""
+    from ..linkeval import time_decayed_weight
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+    l = base.select(F.col("event_id").alias("evt_l"),
+                    F.col("user_id").alias("user_l"),
+                    "event_type", "k",
+                    F.col("cents").alias("cents_l"),
+                    F.col("ts").alias("ts_l"))
+    r = base.select(F.col("event_id").alias("evt_r"),
+                    F.col("user_id").alias("user_r"),
+                    "event_type", "k",
+                    F.col("cents").alias("cents_r"),
+                    F.col("ts").alias("ts_r"))
+    p = (l.join(r, ["event_type", "k"])
+         .filter(F.col("evt_l") < F.col("evt_r")))
+    agree = F.abs(F.col("cents_l") - F.col("cents_r")) <= _GL_BAL
+    dt, ws, wd = time_decayed_weight(agree, "ts_l", "ts_r")
+    r6 = lambda c: F.round(c * 1_000_000).cast("bigint")  # noqa: E731
+    return p.select(
+        "evt_l", "evt_r",
+        (F.col("user_l") == F.col("user_r")).alias("same_user"),
+        agree.alias("f_val"),
+        r6(dt).alias("dt6"),
+        r6(ws).alias("w_static6"),
+        r6(wd).alias("w_decay6"))

@@ -710,3 +710,55 @@ def test_group_linkage_fixture_properties(spark):
         assert r.matched <= min(r.n_l, r.n_r)
         assert 0 <= r.dice6 <= 1_000_000
         assert r.matched <= r.score_sum <= 2 * r.matched
+
+
+# ------------------------------------------------- temporal decay
+
+def test_time_decayed_weight_hand_values(spark):
+    """At dt=0 the decayed weight equals the static weight; at one
+    agreement half-life (30 days) it is half; the disagreement
+    branch uses its own faster half-life (10 days). Quantized
+    comparisons, IEEE mirror in pure Python."""
+    import datetime
+    import math
+    from semlink.linkeval import time_decayed_weight
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, t0, True), (2, t0, t0 + datetime.timedelta(days=30),
+             True), (3, t0, t0 + datetime.timedelta(days=10), False)]
+    df = spark.createDataFrame(
+        rows, "pid long, ts_l timestamp_ntz, ts_r timestamp_ntz, ag boolean")
+    dt, ws, wd = time_decayed_weight(F.col("ag"), "ts_l", "ts_r")
+    out = {r.pid: r for r in df.select(
+        "pid", F.round(dt * 1e6).cast("bigint").alias("dt6"),
+        F.round(ws * 1e6).cast("bigint").alias("ws6"),
+        F.round(wd * 1e6).cast("bigint").alias("wd6")).collect()}
+    w_a = math.log(0.9 / 0.3)
+    w_d = math.log((1.0 - 0.9) / (1.0 - 0.3))
+    assert out[1].dt6 == 0 and out[1].wd6 == out[1].ws6 == round(1e6 * w_a)
+    assert out[2].ws6 == round(1e6 * w_a)
+    assert out[2].wd6 == round(1e6 * (w_a * math.exp(
+        -(math.log(2.0) / 30.0) * 30.0)))
+    assert abs(out[2].wd6 - round(1e6 * w_a / 2)) <= 1
+    assert out[3].ws6 == round(1e6 * w_d)
+    assert out[3].wd6 == round(1e6 * (w_d * math.exp(
+        -(math.log(2.0) / 10.0) * 10.0)))
+    assert out[3].ws6 < out[3].wd6 < 0  # penalty shrinks toward 0
+
+
+def test_temporal_decay_fixture_monotone(spark):
+    """Fixture entry: decay never inflates evidence
+    (|w_decay6| <= |w_static6| everywhere, equality only near dt=0),
+    and among agreeing pairs the decayed weight is non-increasing in
+    the time gap."""
+    from semlink.queries.linkeval import rl_temporal_decay
+    df = rl_temporal_decay(spark, "/root/testdata/sf0.001").cache()
+    bad = df.filter(F.abs("w_decay6") > F.abs("w_static6")).count()
+    assert bad == 0
+    agree = sorted(((r.dt6, r.w_decay6) for r in
+                    df.filter("f_val").select("dt6", "w_decay6")
+                    .distinct().collect()))
+    assert len(agree) > 50
+    for (d1, w1), (d2, w2) in zip(agree, agree[1:]):
+        if d1 < d2:
+            assert w1 >= w2, (d1, d2)
+    df.unpersist()
