@@ -158,3 +158,53 @@ def stream_link_sessions(spark, sf_dir):
         F.count("*").alias("conv_cands"),
         F.countDistinct("target_id").alias("conv_targets"))
     return wins.join(totals, "conv_id")
+
+
+def _inc_oracle():
+    """The streaming incremental-link entry reuses rl_incremental_link's
+    FULL SQL oracle verbatim: per-record independence makes the union
+    of micro-batch outputs bit-identical to the batch run, so this is
+    the one streaming entry with an exact hash gate."""
+    from . import REGISTRY
+    return REGISTRY["rl_incremental_link"][1]
+
+
+@q("stream_incremental_link", _inc_oracle())
+def stream_incremental_link(spark, sf_dir):
+    """§2.10 + C15: STREAMING incremental ER — the corrupted
+    duplicates arrive as a multi-micro-batch file stream
+    (maxFilesPerTrigger=1 over a multi-file source) and each batch
+    resolves against the static originals via
+    streaming.incremental_link_batches; assignments append per batch
+    and are read back as one table. Hash-gated against the SAME
+    DuckDB oracle as the batch entry (per-record independence ⇒
+    stream ≡ batch). Demoted from the driver window (see
+    __spark_entry__)."""
+    import tempfile
+    from ..iterative import incremental_link  # noqa: F401 (doc link)
+    from ..streaming import incremental_link_batches
+    from .linkeval import _mr_match, _mr_score_col, _records
+    recs = _records(spark, sf_dir)
+    orig = recs.filter(F.col("rec_id") % 2 == 0)
+    new = recs.filter(F.col("rec_id") % 2 == 1)
+    reps = orig.select(F.col("rec_id").alias("cluster_id"),
+                       "name", "seg", "bal_cents", "nat")
+    src = tempfile.mkdtemp(prefix="semlink_sinc_src_")
+    ckpt = tempfile.mkdtemp(prefix="semlink_sinc_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="semlink_sinc_out_")
+    new.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    process = incremental_link_batches(
+        reps, scheme=lambda df: F.col("nat").cast("string"),
+        match_cond=_mr_match, score_col=_mr_score_col(),
+        carry_cols=("name", "seg", "bal_cents"), sink=sink)
+    qy = (stream.writeStream.foreachBatch(process)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    return spark.read.parquet(out_dir)

@@ -181,3 +181,43 @@ def rolling_context(cand_stream: DataFrame,
             .groupBy("conv_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def incremental_link_batches(reps: DataFrame, scheme, match_cond,
+                             score_col, carry_cols, sink,
+                             rec_id_col: str = "rec_id",
+                             cluster_col: str = "cluster_id"):
+    """foreachBatch processor for STREAMING incremental entity
+    resolution — the production ingest shape once the backlog is
+    resolved: every micro-batch of newly arriving records runs the
+    SAME batch operator (iterative.incremental_link) against the
+    static golden representatives, and ``sink(assignments,
+    batch_id)`` persists the result.
+
+    The assignment is per-record independent (each record's rank-1
+    candidate depends only on its own row and the reps table), so
+    the union of micro-batch outputs is BIT-IDENTICAL to one batch
+    run over all records regardless of how the source splits
+    batches — the rare streaming operator with an EXACT batch/SQL
+    oracle, unlike the watermark-dependent session/stateful ops.
+    Intra-stream duplicates resolve through the existing population
+    exactly as the batch docstring describes; records matching only
+    EACH OTHER await the next periodic batch re-resolution.
+
+    Usage::
+
+        q = (new_stream.writeStream
+             .foreachBatch(incremental_link_batches(reps, ...))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    from .iterative import incremental_link
+
+    def process(batch_df, batch_id: int):
+        out = incremental_link(
+            batch_df, reps, scheme=scheme, match_cond=match_cond,
+            score_col=score_col, carry_cols=carry_cols,
+            rec_id_col=rec_id_col, cluster_col=cluster_col)
+        sink(out, batch_id)
+
+    return process

@@ -333,3 +333,49 @@ def test_stream_dedup_documents_bounded_state(spark, tmp_path):
     # dropped: 2 (in-batch dup), 5 (cross-batch dup via state),
     # 7 ('' collides with null's digest); new content 6 survives
     assert got == [1, 3, 4, 6], got
+
+
+def test_stream_incremental_link_equals_batch(spark, tmp_path):
+    """Streaming incremental ER over >= 2 micro-batches produces the
+    BIT-IDENTICAL assignment set as one batch run over all records
+    (per-record independence), and the batch split is real
+    (maxFilesPerTrigger=1 over a 3-file source)."""
+    from pyspark.sql import functions as F
+    from semlink.iterative import incremental_link
+    from semlink.queries.linkeval import (_mr_match, _mr_score_col,
+                                          _records)
+    from semlink.streaming import incremental_link_batches
+    recs = _records(spark, "/root/testdata/sf0.001")
+    orig = recs.filter(F.col("rec_id") % 2 == 0)
+    new = recs.filter(F.col("rec_id") % 2 == 1)
+    reps = orig.select(F.col("rec_id").alias("cluster_id"),
+                       "name", "seg", "bal_cents", "nat")
+    src = str(tmp_path / "src")
+    new.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    seen_batches = []
+    out_dir = str(tmp_path / "out")
+
+    def sink(df, batch_id):
+        seen_batches.append(batch_id)
+        df.write.mode("append").parquet(out_dir)
+
+    process = incremental_link_batches(
+        reps, scheme=lambda df: F.col("nat").cast("string"),
+        match_cond=_mr_match, score_col=_mr_score_col(),
+        carry_cols=("name", "seg", "bal_cents"), sink=sink)
+    qy = (stream.writeStream.foreachBatch(process)
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    assert len(seen_batches) >= 2          # genuinely micro-batched
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir)
+                 .select("rec_id", "cluster_id", "matched", "score")
+                 .collect())
+    want = sorted(tuple(r) for r in incremental_link(
+        new, reps, scheme=lambda df: F.col("nat").cast("string"),
+        match_cond=_mr_match, score_col=_mr_score_col(),
+        carry_cols=("name", "seg", "bal_cents"))
+        .select("rec_id", "cluster_id", "matched", "score").collect())
+    assert got == want
