@@ -456,46 +456,25 @@ def golden_records(recs: DataFrame, cluster_col: str,
                       *max_cols, "n_members")
 
 
-def center_clusters(nodes: DataFrame, edges: DataFrame,
-                    id_col: str = "doc_id",
-                    left_col: str = "id_l", right_col: str = "id_r",
-                    sim_col: str = "sim",
-                    max_rounds: int = 64) -> DataFrame:
-    """Center clustering over a weighted similarity graph — the
-    chaining-resistant alternative to connected components
-    (Hassanzadeh & Miller, "Creating probabilistic databases from
-    duplicated data", VLDB Journal 2009: scan edges best-first; on an
-    edge with two unassigned endpoints the canonical-left node
-    becomes a CENTER and the other its member; an unassigned node
-    touching a center joins it; edges touching a member do nothing).
-    Unlike CC, a member never recruits further records, so a chain
-    a~b~c with a!~c splits instead of collapsing — exactly the
-    transitive-chaining failure cluster_review can only FLAG.
+def _center_scan(e: DataFrame, max_rounds: int, merge: bool,
+                 op_name: str):
+    """Shared locally-dominant best-first scan for center /
+    merge-center clustering. ``e`` is a localCheckpointed (l, r, s)
+    edge table. Returns (state, merges): ``state`` = (v, c, ctr)
+    decided nodes (None if no edge ever processed), ``merges`` =
+    (c1, c2) cluster-merge edges (merge mode only, else None).
 
-    The sequential best-first scan is distributed EXACTLY by the
-    locally-dominant-edge argument a third time (after the matcher
-    and canopy): under the total edge order (sim DESC, id_l ASC,
-    id_r ASC), an edge that is the top remaining edge for BOTH
-    endpoints can be processed immediately — every higher-priority
-    incident edge is already processed or provably-forever inert —
-    and node states are MONOTONE (member stays member, center stays
-    center), so edges with a member endpoint or two decided
-    endpoints can be pruned eagerly without changing any later
-    transition. Dominant edges of one round form a matching, so the
-    batch state update is conflict-free.
-
-    Scale per round: one symmetrized projection (two selects +
-    union), one per-node rank window, one count-2 groupBy for
-    dominance, two state joins for the transition, and the eager
-    prune — all keyed by node or edge; pool localCheckpointed; ONE
-    0/1-row convergence probe. Returns (id_col, cluster, is_center)
-    for every node; untouched nodes become singleton centers.
-    Raises past ``max_rounds`` so the unrolled oracle can never
-    silently diverge."""
-    lc, rc, sc = F.col(left_col), F.col(right_col), F.col(sim_col)
-    e = edges.select(lc.alias("l"), rc.alias("r"), sc.alias("s")) \
-        .localCheckpoint()
+    Mode difference, faithful to the sequential rules: CENTER skips
+    every edge touching a member, and member status is permanent, so
+    those edges prune EAGERLY; MERGE-CENTER gives (member|center,
+    center) edges an effect — merge the two clusters — so only
+    both-member edges are provably inert and every other edge must
+    wait for its own dominance slot (its effect depends on the
+    states AT THAT TIME: a (member, unassigned) edge processed
+    before the unassigned side becomes a center is a skip, not a
+    merge — eager pruning would get that wrong)."""
     state = None  # (v, c, ctr) — decided nodes only
+    merges = None  # (c1, c2) cluster merges (merge mode)
     done = e.limit(1).count() == 0
     for _ in range(max_rounds):
         if done:
@@ -509,7 +488,8 @@ def center_clusters(nodes: DataFrame, edges: DataFrame,
             .filter(F.col("_rk") == 1))
         dom = (rk1.groupBy("l", "r", "s")
                .agg(F.count(F.lit(1)).alias("_c"))
-               .filter(F.col("_c") == 2).drop("_c"))
+               .filter(F.col("_c") == 2).drop("_c")
+               .localCheckpoint())
         if state is None:
             su = dom.select("l", "r",
                             F.lit(None).cast("bigint").alias("_cu"),
@@ -544,32 +524,99 @@ def center_clusters(nodes: DataFrame, edges: DataFrame,
             .unionByName(su.filter(v_center).select(
                 F.col("l").alias("v"), F.col("_cv").alias("c"),
                 F.lit(False).alias("ctr"))))
+        if merge:
+            # both endpoints decided, at least one a center -> the
+            # two clusters merge (covers member-center and
+            # center-center; member-unassigned is a skip)
+            mrows = (su.filter(F.col("_cu").isNotNull()
+                               & F.col("_cv").isNotNull()
+                               & (F.col("_ku") | F.col("_kv"))
+                               & (F.col("_cu") != F.col("_cv")))
+                     .select(F.col("_cu").alias("c1"),
+                             F.col("_cv").alias("c2")))
+            # lazy accumulation is safe: each round's mrows reads only
+            # the checkpointed dom/state, so the union lineage stays
+            # shallow without a per-round materialization job
+            merges = (mrows if merges is None
+                      else merges.unionByName(mrows))
         state = (new_rows if state is None
                  else state.unionByName(new_rows)).localCheckpoint()
-        e = (e.join(state.select(F.col("v").alias("l"),
-                                 F.col("c").alias("_cu"),
-                                 F.col("ctr").alias("_ku")),
-                    "l", "left")
-             .join(state.select(F.col("v").alias("r"),
-                                F.col("c").alias("_cv"),
-                                F.col("ctr").alias("_kv")),
-                   "r", "left")
-             # drop: member endpoint (forever inert), both decided
-             .filter(~(F.col("_cu").isNotNull()
-                       & F.col("_ku").eqNullSafe(F.lit(False))))
-             .filter(~(F.col("_cv").isNotNull()
-                       & F.col("_kv").eqNullSafe(F.lit(False))))
-             .filter(~(F.col("_cu").isNotNull()
-                       & F.col("_cv").isNotNull()))
-             .select("l", "r", "s")
-             .localCheckpoint())
+        pruned = (e
+                  # every dominant edge reached its sequential slot
+                  .join(dom.select("l", "r"), ["l", "r"], "left_anti")
+                  .join(state.select(F.col("v").alias("l"),
+                                     F.col("c").alias("_cu"),
+                                     F.col("ctr").alias("_ku")),
+                        "l", "left")
+                  .join(state.select(F.col("v").alias("r"),
+                                     F.col("c").alias("_cv"),
+                                     F.col("ctr").alias("_kv")),
+                        "r", "left"))
+        if merge:
+            # only both-member edges are forever inert in merge mode
+            pruned = pruned.filter(
+                ~(F.col("_ku").eqNullSafe(F.lit(False))
+                  & F.col("_kv").eqNullSafe(F.lit(False))))
+        else:
+            # center mode: member endpoint or both decided -> inert
+            pruned = (pruned
+                      .filter(~(F.col("_cu").isNotNull()
+                                & F.col("_ku").eqNullSafe(F.lit(False))))
+                      .filter(~(F.col("_cv").isNotNull()
+                                & F.col("_kv").eqNullSafe(F.lit(False))))
+                      .filter(~(F.col("_cu").isNotNull()
+                                & F.col("_cv").isNotNull())))
+        e = pruned.select("l", "r", "s").localCheckpoint()
         # probe AFTER processing so a graph converging in exactly
-        # max_rounds rounds succeeds (matches the sibling loops and
-        # the unrolled oracle's round count)
+        # max_rounds rounds succeeds (matches the unrolled oracle)
         done = e.limit(1).count() == 0
     if not done:
         raise RuntimeError(
-            f"center_clusters did not converge in {max_rounds} rounds")
+            f"{op_name} did not converge in {max_rounds} rounds")
+    return state, merges
+
+
+def center_clusters(nodes: DataFrame, edges: DataFrame,
+                    id_col: str = "doc_id",
+                    left_col: str = "id_l", right_col: str = "id_r",
+                    sim_col: str = "sim",
+                    max_rounds: int = 64) -> DataFrame:
+    """Center clustering over a weighted similarity graph — the
+    chaining-resistant alternative to connected components
+    (Hassanzadeh & Miller, "Creating probabilistic databases from
+    duplicated data", VLDB Journal 2009: scan edges best-first; on an
+    edge with two unassigned endpoints the canonical-left node
+    becomes a CENTER and the other its member; an unassigned node
+    touching a center joins it; edges touching a member do nothing).
+    Unlike CC, a member never recruits further records, so a chain
+    a~b~c with a!~c splits instead of collapsing — exactly the
+    transitive-chaining failure cluster_review can only FLAG.
+
+    The sequential best-first scan is distributed EXACTLY by the
+    locally-dominant-edge argument a third time (after the matcher
+    and canopy): under the total edge order (sim DESC, id_l ASC,
+    id_r ASC), an edge that is the top remaining edge for BOTH
+    endpoints can be processed immediately — every higher-priority
+    incident edge is already processed or provably-forever inert —
+    and node states are MONOTONE (member stays member, center stays
+    center), so edges with a member endpoint or two decided
+    endpoints can be pruned eagerly without changing any later
+    transition. Dominant edges of one round form a matching, so the
+    batch state update is conflict-free.
+
+    Scale per round (shared _center_scan core): one symmetrized
+    projection, one per-node rank window, one count-2 groupBy for
+    dominance, two state joins for the transition, and the eager
+    prune — all keyed by node or edge; ONE 0/1-row convergence
+    probe. Returns (id_col, cluster, is_center) for every node;
+    untouched nodes become singleton centers. Raises past
+    ``max_rounds`` so the unrolled oracle can never silently
+    diverge."""
+    lc, rc, sc = F.col(left_col), F.col(right_col), F.col(sim_col)
+    e = edges.select(lc.alias("l"), rc.alias("r"), sc.alias("s")) \
+        .localCheckpoint()
+    state, _ = _center_scan(e, max_rounds, merge=False,
+                            op_name="center_clusters")
     base = nodes.select(F.col(id_col))
     if state is None:
         return base.select(
@@ -578,6 +625,69 @@ def center_clusters(nodes: DataFrame, edges: DataFrame,
     st = state.select(F.col("v").alias(id_col),
                       F.col("c").alias("cluster"),
                       F.col("ctr").alias("is_center"))
+    return (base.join(st, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cluster", F.col(id_col))
+                    .alias("cluster"),
+                    F.coalesce("is_center", F.lit(True))
+                    .alias("is_center")))
+
+
+def merge_center_clusters(nodes: DataFrame, edges: DataFrame,
+                          id_col: str = "doc_id",
+                          left_col: str = "id_l",
+                          right_col: str = "id_r",
+                          sim_col: str = "sim",
+                          max_rounds: int = 64,
+                          cfg=None, ckpt_dir: str | None = None
+                          ) -> DataFrame:
+    """Merge-center clustering (Hassanzadeh-Miller VLDB J. '09):
+    CENTER's scan, except an edge between a decided record and a
+    CENTER of another cluster merges the two clusters instead of
+    being skipped — recall between CENTER's strictness and CC's
+    chaining. Crucially the merge-vs-skip decision depends on the
+    states AT THE EDGE'S SEQUENTIAL SLOT (a member~unassigned edge
+    is a skip even if the unassigned side later becomes a center),
+    which the shared dominance loop honors by pruning only provably
+    inert both-member edges and letting every other edge reach its
+    own slot.
+
+    Final labels: the cluster-level merge graph (bounded by the
+    number of centers, not records) runs through the SAME
+    checkpointed large/small-star run_connected_components as the
+    pipeline, and members relabel through one join. Returns
+    (id_col, cluster, is_center) — cluster = min merged center id;
+    a merged cluster legitimately contains several scan-elected
+    centers."""
+    import tempfile
+
+    from .config import SemlinkConfig
+    lc, rc, sc = F.col(left_col), F.col(right_col), F.col(sim_col)
+    e = edges.select(lc.alias("l"), rc.alias("r"), sc.alias("s")) \
+        .localCheckpoint()
+    state, merges = _center_scan(e, max_rounds, merge=True,
+                                 op_name="merge_center_clusters")
+    base = nodes.select(F.col(id_col))
+    if state is None:
+        return base.select(
+            F.col(id_col), F.col(id_col).alias("cluster"),
+            F.lit(True).alias("is_center"))
+    st = state.select(F.col("v").alias(id_col),
+                      F.col("c").alias("cluster"),
+                      F.col("ctr").alias("is_center"))
+    if merges is not None and merges.limit(1).count() > 0:
+        pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+        labels = run_connected_components(
+            merges.select(pad("c1").alias("src"), pad("c2").alias("dst")),
+            cfg or SemlinkConfig(),
+            ckpt_dir=ckpt_dir or tempfile.mkdtemp(prefix="semlink_mc_cc_"))
+        relabel = labels.select(
+            F.col("mention_id").cast("bigint").alias("cluster"),
+            F.col("cluster_id").cast("bigint").alias("_new"))
+        st = (st.join(relabel, "cluster", "left")
+              .select(F.col(id_col),
+                      F.coalesce("_new", "cluster").alias("cluster"),
+                      "is_center"))
     return (base.join(st, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("cluster", F.col(id_col))

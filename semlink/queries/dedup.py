@@ -498,3 +498,105 @@ def dedup_center_clusters(spark, sf_dir):
     return center_clusters(
         docs.select("doc_id"), sims.filter(F.col("sim") >= _CANOPY_T2),
         max_rounds=_CENTER_ROUNDS)
+
+
+def _merge_center_oracle() -> str:
+    """Unrolled merge-center scan + recursive-CTE CC relabel, mirror
+    of cluster.merge_center_clusters: same dominance rounds as the
+    center oracle, but only both-member edges prune, dominant edges
+    are removed explicitly (a member~unassigned slot is a skip), and
+    both-decided-with-a-center edges emit cluster-merge rows that a
+    recursive reachability CTE folds into min-labels."""
+    parts = [f"""
+  WITH RECURSIVE {_SHSIMS_SQL},
+  e0 AS MATERIALIZED (SELECT id_l AS l, id_r AS r, sim AS s FROM sims
+         WHERE sim >= {_CANOPY_T2}),
+  s0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS v,
+                CAST(NULL AS BIGINT) AS c,
+                TRUE AS ctr WHERE 1 = 0)"""]
+    for i in range(1, _CENTER_ROUNDS + 1):
+        p = i - 1
+        parts.append(f""",
+  sym{i} AS (SELECT l AS node, l, r, s FROM e{p}
+             UNION ALL SELECT r, l, r, s FROM e{p}),
+  rk{i} AS (SELECT node, l, r, s FROM (
+              SELECT *, row_number() OVER (PARTITION BY node
+                        ORDER BY s DESC, l, r) AS rk FROM sym{i})
+            WHERE rk = 1),
+  d{i} AS MATERIALIZED (SELECT l, r, s FROM rk{i}
+           GROUP BY l, r, s HAVING count(*) = 2),
+  j{i} AS MATERIALIZED (SELECT d.l, d.r, su.c AS cu, su.ctr AS ku,
+                  sv.c AS cv, sv.ctr AS kv
+           FROM d{i} d
+           LEFT JOIN s{p} su ON su.v = d.l
+           LEFT JOIN s{p} sv ON sv.v = d.r),
+  n{i} AS (SELECT l AS v, l AS c, TRUE AS ctr FROM j{i}
+             WHERE cu IS NULL AND cv IS NULL
+           UNION ALL SELECT r, l, FALSE FROM j{i}
+             WHERE cu IS NULL AND cv IS NULL
+           UNION ALL SELECT r, cu, FALSE FROM j{i}
+             WHERE ku AND cv IS NULL
+           UNION ALL SELECT l, cv, FALSE FROM j{i}
+             WHERE kv AND cu IS NULL),
+  mg{i} AS (SELECT cu AS c1, cv AS c2 FROM j{i}
+            WHERE cu IS NOT NULL AND cv IS NOT NULL
+              AND (ku OR kv) AND cu <> cv),
+  s{i} AS MATERIALIZED (SELECT * FROM s{p}
+           UNION ALL SELECT * FROM n{i}),
+  e{i} AS MATERIALIZED (SELECT e.l, e.r, e.s FROM e{p} e
+           LEFT JOIN d{i} d ON d.l = e.l AND d.r = e.r
+           LEFT JOIN s{i} su ON su.v = e.l
+           LEFT JOIN s{i} sv ON sv.v = e.r
+           WHERE d.l IS NULL
+             AND NOT (coalesce(NOT su.ctr, FALSE)
+                      AND coalesce(NOT sv.ctr, FALSE)))""")
+    mg_union = "\n           UNION ALL ".join(
+        f"SELECT * FROM mg{i}" for i in range(1, _CENTER_ROUNDS + 1))
+    parts.append(f""",
+  mg AS MATERIALIZED ({mg_union}),
+  msym AS (SELECT lpad(CAST(c1 AS VARCHAR), 12, '0') AS a,
+                  lpad(CAST(c2 AS VARCHAR), 12, '0') AS b FROM mg
+           UNION SELECT lpad(CAST(c2 AS VARCHAR), 12, '0'),
+                        lpad(CAST(c1 AS VARCHAR), 12, '0') FROM mg
+           UNION SELECT lpad(CAST(c1 AS VARCHAR), 12, '0'),
+                        lpad(CAST(c1 AS VARCHAR), 12, '0') FROM mg
+           UNION SELECT lpad(CAST(c2 AS VARCHAR), 12, '0'),
+                        lpad(CAST(c2 AS VARCHAR), 12, '0') FROM mg),
+  reach(a, b) AS (
+    SELECT a, b FROM msym
+    UNION
+    SELECT r.a, m.b FROM reach r JOIN msym m ON r.b = m.a),
+  lab AS (SELECT CAST(a AS BIGINT) AS c_old,
+                 CAST(min(b) AS BIGINT) AS c_new
+          FROM reach GROUP BY a),
+  stf AS (SELECT s.v, coalesce(l.c_new, s.c) AS cluster, s.ctr
+          FROM s{_CENTER_ROUNDS} s
+          LEFT JOIN lab l ON l.c_old = s.c)
+  SELECT d.doc_id,
+         CAST(coalesce(stf.cluster, d.doc_id) AS BIGINT) AS cluster,
+         coalesce(stf.ctr, TRUE) AS is_center
+  FROM documents d
+  LEFT JOIN stf ON stf.v = d.doc_id""")
+    return "".join(parts)
+
+
+@q("dedup_merge_center", _merge_center_oracle())
+def dedup_merge_center(spark, sf_dir):
+    """Merge-center clustering (cluster.merge_center_clusters,
+    Hassanzadeh-Miller VLDB J. '09) over the near-dup shingle graph:
+    CENTER's scan, except a decided record touching another
+    cluster's CENTER merges the two clusters — recall between
+    CENTER's strictness and CC's chaining. On THIS corpus the
+    near-dup graph is isolated pairs, so the hash gate exercises the
+    full scan + relabel plumbing with an empty merge set; the merge
+    path itself is pinned by the sequential union-find equality and
+    bridge pytest cases. Registry + pytest + oracle verified on
+    demand; demoted from the full driver window (see
+    __spark_entry__)."""
+    import tempfile
+    from ..cluster import merge_center_clusters
+    docs, sims = _sh_sims(spark, sf_dir)
+    return merge_center_clusters(
+        docs.select("doc_id"), sims.filter(F.col("sim") >= _CANOPY_T2),
+        max_rounds=_CENTER_ROUNDS,
+        ckpt_dir=tempfile.mkdtemp(prefix="semlink_mcq_"))

@@ -180,3 +180,112 @@ def test_center_clusters_fixture_vs_cc(spark):
         centers = [m for m in members if m.is_center]
         assert len(centers) == 1 and centers[0].doc_id == cid
     assert any(len(m) > 1 for m in by_cluster.values())
+
+
+def _seq_merge_center(ids, edges):
+    """Sequential merge-center reference: like center, but an edge
+    between a decided record and the CENTER of another cluster merges
+    the two clusters (union-find); member~unassigned stays a skip."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    state = {}   # v -> (cluster_root_key, is_center)
+    for l, r, s in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        sl, sr = state.get(l), state.get(r)
+        if sl is None and sr is None:
+            state[l] = (l, True)
+            state[r] = (l, False)
+        elif sl is not None and sl[1] and sr is None:
+            state[r] = (find(sl[0]), False)
+        elif sr is not None and sr[1] and sl is None:
+            state[l] = (find(sr[0]), False)
+        elif sl is not None and sr is not None and (sl[1] or sr[1]):
+            a, b = find(sl[0]), find(sr[0])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    out = {}
+    for v in ids:
+        if v in state:
+            out[v] = (find(state[v][0]), state[v][1])
+        else:
+            out[v] = (v, True)
+    # normalize: cluster label = min center root; find() roots by min
+    return out
+
+
+def test_merge_center_equals_sequential_scan(spark):
+    """merge_center_clusters == the sequential union-find reference
+    on pseudo-random weighted graphs with heavy ties — including
+    merges triggered by member~center and center~center edges."""
+    from semlink.cluster import merge_center_clusters
+    ids = list(range(14))
+    edges = []
+    for a in range(14):
+        for b in range(a + 1, 14):
+            h = (a * 48271 + b * 69621) % 89
+            if h < 30:
+                edges.append((a, b, h % 5))
+    want = _seq_merge_center(ids, edges)
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    edf = spark.createDataFrame(edges, "id_l long, id_r long, sim long")
+    got = {r.doc_id: (r.cluster, r.is_center)
+           for r in merge_center_clusters(idf, edf).collect()}
+    assert got == want
+
+
+def test_merge_center_bridges_where_center_splits(spark):
+    """The defining difference from CENTER: a member of one cluster
+    similar to the CENTER of another merges the clusters. Edges
+    (1,2,9) then (3,4,8) then (2,3,7): center clustering yields
+    {1,2} {3,4}; merge-center processes (2,3) with 2 a member and 3 a
+    CENTER -> one merged cluster. A member~unassigned edge stays a
+    skip ((4,5,1) with 5 isolated -> 5 singleton)."""
+    from semlink.cluster import center_clusters, merge_center_clusters
+    idf = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)],
+                                "doc_id long")
+    edf = spark.createDataFrame(
+        [(1, 2, 9), (3, 4, 8), (2, 3, 7), (4, 5, 1)],
+        "id_l long, id_r long, sim long")
+    c = {r.doc_id: r.cluster for r in center_clusters(idf, edf).collect()}
+    assert c == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+    m = {r.doc_id: r.cluster
+         for r in merge_center_clusters(idf, edf).collect()}
+    assert m == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+
+
+def test_merge_center_oracle_merge_path(spark, tmp_path):
+    """The dedup_merge_center ORACLE's merge machinery (merge-edge
+    CTEs + recursive reachability relabel) verified on engineered
+    documents that force a center~center merge: A~B strongest (A
+    center), C~D next (C center), then A~C bridges the two centers —
+    Spark and DuckDB agree row-for-row AND at least one merge
+    actually fired (all four docs share one cluster)."""
+    import duckdb
+    from semlink.queries import REGISTRY
+    w = [f"w{i:02d}" for i in range(30)]
+    texts = [
+        (0, " ".join(w)),                                   # A
+        (1, " ".join(w[:27] + ["xx", "yy", "zz"])),         # B ~ A (25)
+        (2, " ".join(w[:24] + ["pp", "qq", "rr", "ss"])),   # C ~ A (22)
+        (3, " ".join(w[:24] + ["pp", "qq", "rr", "tt"])),   # D ~ C (24)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(texts, "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    fn, sql = REGISTRY["dedup_merge_center"]
+    got = sorted((r.doc_id, r.cluster, r.is_center)
+                 for r in fn(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+    clusters = {c for _, c, _ in got}
+    assert clusters == {0}            # the bridge merged everything
+    centers = {d for d, _, ctr in got if ctr}
+    assert centers == {0, 2}          # both scan-elected centers kept
