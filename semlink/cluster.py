@@ -456,6 +456,16 @@ def golden_records(recs: DataFrame, cluster_col: str,
                       *max_cols, "n_members")
 
 
+_PAD = 12  # zero-pad width for numeric-id <-> CC string-label round-trip
+
+
+def fmt_cc_id(c):
+    """Non-negative bigint id -> fixed-width string: the CC min-label
+    (lexicographic) equals the numeric min after padding. ONE home
+    for the convention — iterative.py and merge_center share it."""
+    return F.lpad(c.cast("string"), _PAD, "0")
+
+
 def _center_scan(e: DataFrame, max_rounds: int, merge: bool,
                  op_name: str):
     """Shared locally-dominant best-first scan for center /
@@ -676,9 +686,9 @@ def merge_center_clusters(nodes: DataFrame, edges: DataFrame,
                       F.col("c").alias("cluster"),
                       F.col("ctr").alias("is_center"))
     if merges is not None and merges.limit(1).count() > 0:
-        pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
         labels = run_connected_components(
-            merges.select(pad("c1").alias("src"), pad("c2").alias("dst")),
+            merges.select(fmt_cc_id(F.col("c1")).alias("src"),
+                          fmt_cc_id(F.col("c2")).alias("dst")),
             cfg or SemlinkConfig(),
             ckpt_dir=ckpt_dir or tempfile.mkdtemp(prefix="semlink_mc_cc_"))
         relabel = labels.select(

@@ -43,12 +43,12 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .cluster import golden_records, run_connected_components
+from .cluster import (fmt_cc_id, golden_records,
+                      run_connected_components)
 from .config import SemlinkConfig
 from .io import TableIO
 from .linkeval import block_pairs
 
-_PAD = 12  # zero-pad width for numeric-id ↔ CC string-label round-trip
 
 
 def incremental_link(new_recs: DataFrame, reps: DataFrame,
@@ -191,10 +191,8 @@ def greedy_one_to_one(pairs: DataFrame,
         f"greedy_one_to_one did not converge in {max_rounds} rounds")
 
 
-def _fmt(c: Column) -> Column:
-    """Non-negative bigint id → fixed-width string: the CC min-label
-    (lexicographic) equals the numeric min after padding."""
-    return F.lpad(c.cast("string"), _PAD, "0")
+# the numeric-id <-> CC-label pad convention lives in cluster.fmt_cc_id
+_fmt = fmt_cc_id
 
 
 def merge_rematch(recs: DataFrame,

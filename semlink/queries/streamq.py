@@ -25,7 +25,9 @@ def stream_candidates_availablenow(spark, sf_dir):
           .format("memory").queryName("q_stream_cands")
           .option("checkpointLocation", ckpt)
           .trigger(availableNow=True).start())
-    qy.awaitTermination(180)
+    if not qy.awaitTermination(180):
+        qy.stop()
+        raise RuntimeError('streaming query timed out')
     return spark.sql("SELECT * FROM q_stream_cands")
 
 
@@ -51,7 +53,9 @@ def stream_session_windows(spark, sf_dir):
           .writeStream.format("memory").queryName("q_swin")
           .option("checkpointLocation", ckpt)
           .trigger(availableNow=True).start())
-    qy.awaitTermination(180)
+    if not qy.awaitTermination(180):
+        qy.stop()
+        raise RuntimeError('streaming query timed out')
     return spark.sql("SELECT * FROM q_swin")
 
 
@@ -84,7 +88,9 @@ def stream_rolling_context(spark, sf_dir):
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           .trigger(availableNow=True).start())
-    qy.awaitTermination(180)
+    if not qy.awaitTermination(180):
+        qy.stop()
+        raise RuntimeError('streaming query timed out')
     return spark.sql("SELECT * FROM q_rc")
 
 
@@ -115,7 +121,9 @@ def stream_dedup_exact(spark, sf_dir):
           .format("memory").queryName("q_sdd")
           .option("checkpointLocation", ckpt)
           .trigger(availableNow=True).start())
-    qy.awaitTermination(120)
+    if not qy.awaitTermination(120):
+        qy.stop()
+        raise RuntimeError('streaming query timed out')
     return spark.sql("SELECT DISTINCT text_hash FROM q_sdd")
 
 
@@ -142,7 +150,9 @@ def stream_link_sessions(spark, sf_dir):
         qy = (df.writeStream.format("memory").queryName(name)
               .option("checkpointLocation", ckpt)
               .trigger(availableNow=True).start())
-        qy.awaitTermination(180)
+        if not qy.awaitTermination(180):
+            qy.stop()
+            raise RuntimeError('streaming query timed out')
         return spark.sql(f"SELECT * FROM {name}")
 
     stream = spark.readStream.schema(d["transcripts"].schema).parquet(src)
@@ -206,5 +216,7 @@ def stream_incremental_link(spark, sf_dir):
     qy = (stream.writeStream.foreachBatch(process)
           .option("checkpointLocation", ckpt)
           .trigger(availableNow=True).start())
-    qy.awaitTermination(300)
+    if not qy.awaitTermination(300):
+        qy.stop()
+        raise RuntimeError('streaming query timed out')
     return spark.read.parquet(out_dir)

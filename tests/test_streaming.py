@@ -368,7 +368,7 @@ def test_stream_incremental_link_equals_batch(spark, tmp_path):
     qy = (stream.writeStream.foreachBatch(process)
           .option("checkpointLocation", str(tmp_path / "ckpt"))
           .trigger(availableNow=True).start())
-    qy.awaitTermination(300)
+    assert qy.awaitTermination(300), "streaming query timed out"
     assert len(seen_batches) >= 2          # genuinely micro-batched
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir)
                  .select("rec_id", "cluster_id", "matched", "score")

@@ -85,16 +85,6 @@ def _canon_spark_type(t: str) -> str:
     return _SPARK_TYPE_MAP.get(t, t)
 
 
-def type_mismatches(spark_df, con, sql):
-    """Column-name → (spark_type, duck_type) for every typed mismatch."""
-    duck = {r[0]: _canon_duck_type(r[1])
-            for r in con.execute(f"DESCRIBE {sql}").fetchall()}
-    spark = {f.name: _canon_spark_type(f.dataType.simpleString())
-             for f in spark_df.schema.fields}
-    return {c: (spark[c], duck[c])
-            for c in spark if c in duck and spark[c] != duck[c]}
-
-
 def main():
     args = sys.argv[1:]
     registry_mode = "--registry" in args
@@ -108,6 +98,10 @@ def main():
     if registry_mode:
         from semlink.queries import REGISTRY
         queries = {n: fn for n, (fn, _) in REGISTRY.items()}
+        # the driver contract adds fixture-pipeline entries that live
+        # ONLY in __spark_entry__ (e.g. pipeline_fixture_f1) — a
+        # "wider than the contract" sweep must still include them
+        queries.update(entrymod.queries())
         oracles = {n: sql for n, (_, sql) in REGISTRY.items()
                    if sql is not None}
         oracles.update(entrymod.oracle_sql())  # golden-constant oracles
@@ -118,7 +112,11 @@ def main():
     selected = [n for n in queries
                 if not names or any(m in n for m in names)]
 
-    # DuckDB pass first (see module docstring: EMFILE vs the JVM)
+    # DuckDB pass first — rows AND schema (DESCRIBE) — so no DuckDB
+    # call runs after the JVM exists (module docstring: EMFILE).
+    # Memory note: every selected oracle's full result set is held at
+    # once; a whole-registry sweep at sf0.01 is a few hundred MB —
+    # run name-filtered chunks if that is too much for the host.
     duck = {}
     con = duckdb.connect()
     for t in TABLES:
@@ -129,10 +127,18 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            duck[name] = ([d[0] for d in res.description],
-                          res.fetchall(), None)
+            rows = ([d[0] for d in res.description], res.fetchall())
         except Exception as e:
-            duck[name] = (None, None, e)
+            duck[name] = (None, None, None, e)
+            continue
+        try:
+            dtypes = {r[0]: _canon_duck_type(r[1]) for r in con.execute(
+                f"DESCRIBE {oracles[name]}").fetchall()}
+        except Exception as e:
+            dtypes = None
+            print(f"warn {name}: DESCRIBE failed ({e})")
+        duck[name] = (rows[0], rows[1], dtypes, None)
+    con.close()
 
     spark = get_spark("oracle-check")
     failures = []
@@ -151,7 +157,7 @@ def main():
             print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, "
                   f"{time.time() - t0:.1f}s) — no oracle")
             continue
-        duck_cols, duck_rows, duck_err = duck[name]
+        duck_cols, duck_rows, duck_types, duck_err = duck[name]
         if duck_err is not None:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {duck_err}")
@@ -161,11 +167,13 @@ def main():
         status = []
         if sc != dc:
             status.append(f"cols {sc} != {dc}")
-        try:
-            tm = type_mismatches(df, con, oracles[name])
-        except Exception as e:  # DESCRIBE failure shouldn't hide value diffs
-            tm = {}
-            print(f"warn {name}: DESCRIBE failed ({e})")
+        tm = {}
+        if duck_types is not None:
+            spark_types = {f.name: _canon_spark_type(
+                f.dataType.simpleString()) for f in df.schema.fields}
+            tm = {c: (spark_types[c], duck_types[c])
+                  for c in spark_types
+                  if c in duck_types and spark_types[c] != duck_types[c]}
         if tm:
             status.append(f"types differ {tm}")
         if len(sr) != len(dr):
