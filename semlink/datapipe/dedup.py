@@ -360,3 +360,82 @@ def cross_corpus_overlap(corpus: DataFrame, benchmark: DataFrame,
                     F.col("n_shingles").cast("bigint").alias("n_shingles"),
                     F.col("n_overlap").cast("bigint").alias("n_overlap"),
                     "overlap6", "contaminated"))
+
+
+def containment_dedup(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      shingle_n: int = 3) -> DataFrame:
+    """EXACT substring-containment dedup: documents whose full token
+    sequence appears verbatim inside another document (quotes,
+    re-posts, chunk re-crawls — the curation op that drops a doc
+    because a superset of it already survives).
+
+    Containment is defined at the TOKEN level — doc A is contained in
+    doc B iff A's whitespace-normalized token sequence is a contiguous
+    run of B's — because character-level substring tests can cut
+    mid-token ("at the house" ⊂ "cat the house") and because token
+    normalization makes the test whitespace-robust. The verify test is
+    then a single `instr(' '||norm_b||' ', ' '||norm_a||' ')` on the
+    space-joined token strings, boundary-safe on both ends.
+
+    Scale shape (candidate-then-verify, never all-pairs):
+
+    1. **Exact-dup collapse first**: identical normalized texts group
+       to one representative (min id), so the quadratic identical-text
+       case is handled by the exact-dedup shuffle, not by pair fan-out.
+    2. **Rarest-shingle blocking**: if A (>= `shingle_n` tokens) is a
+       token-substring of B, EVERY n-token shingle of A — in
+       particular its globally rarest — is also a shingle of B. So
+       each eligible contained-side doc emits exactly ONE probe row
+       (its min-(df, shingle) shingle) equi-joined against the
+       distinct (doc, shingle) table. No false negatives; fan-out per
+       doc is the document frequency of its rarest shingle, the
+       minimum achievable for single-shingle blocking. Worst case
+       (a corpus of near-permutations sharing every shingle) degrades
+       toward all-pairs — that corpus is exactly the near-dup-cluster
+       family's job, not containment's.
+    3. **Verify + aggregate**: the instr test above, then one groupBy
+       on the contained id (min container, container count).
+
+    Docs with fewer than `shingle_n` tokens are not eligible on the
+    contained side (a min-length gate every real containment-dedup
+    policy carries anyway — dropping a 2-token doc as "contained" is
+    noise); they still serve as containers of nothing (too short) and
+    participate in exact-dup collapse. NULL text follows the
+    family-wide null=='' convention.
+
+    Output: one row per contained representative doc —
+    (contained_id, container_id = min containing rep, n_containers).
+    """
+    from pyspark.sql import Window
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.concat_ws(" ", toks).alias("norm"),
+                     F.size(toks).alias("tc"))
+    nd = (base.groupBy("norm")
+          .agg(F.min("_id").alias("_id"), F.min("tc").alias("tc")))
+    sh = shingles_exploded(nd, "_id", "norm", shingle_n).distinct()
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    eligible = nd.filter(F.col("tc") >= shingle_n)
+    w = Window.partitionBy("_id").orderBy("_df", "s")
+    rare = (sh.join(eligible.select("_id"), "_id", "left_semi")
+            .join(dfreq, "s")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("_id").alias("contained_id"), "s"))
+    cand = (rare.join(sh.withColumnRenamed("_id", "cid"), "s")
+            .filter(F.col("contained_id") != F.col("cid"))
+            .select("contained_id", "cid"))
+    return (cand
+            .join(eligible.select(F.col("_id").alias("contained_id"),
+                                  F.col("norm").alias("norm_a")),
+                  "contained_id")
+            .join(nd.select(F.col("_id").alias("cid"),
+                            F.col("norm").alias("norm_b")), "cid")
+            .filter(F.instr(F.concat(F.lit(" "), F.col("norm_b"),
+                                     F.lit(" ")),
+                            F.concat(F.lit(" "), F.col("norm_a"),
+                                     F.lit(" "))) > 0)
+            .groupBy("contained_id")
+            .agg(F.min("cid").alias("container_id"),
+                 F.count(F.lit(1)).alias("n_containers")))

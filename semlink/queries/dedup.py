@@ -600,3 +600,58 @@ def dedup_merge_center(spark, sf_dir):
         docs.select("doc_id"), sims.filter(F.col("sim") >= _CANOPY_T2),
         max_rounds=_CENTER_ROUNDS,
         ckpt_dir=tempfile.mkdtemp(prefix="semlink_mcq_"))
+
+
+# Planted-derivation corpus for containment (both engines derive it
+# identically): every ninth sufficiently long document spawns a
+# snippet doc whose text is tokens 4..11 of the original — a
+# guaranteed proper token-substring — so the operator's output is
+# non-empty and position-verified at every sf.
+_CONTAIN_SQL = """
+  WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                       x -> x <> '') AS toks
+    FROM documents),
+  corpus AS (
+    SELECT doc_id, array_to_string(toks, ' ') AS norm, len(toks) AS tc
+    FROM tok
+    UNION ALL
+    SELECT doc_id + 1000000, array_to_string(toks[4:11], ' '), 8
+    FROM tok WHERE doc_id % 9 = 0 AND len(toks) >= 12),
+  nd AS (SELECT min(doc_id) AS id, norm, min(tc) AS tc
+         FROM corpus GROUP BY norm),
+  pairs AS (
+    SELECT a.id AS contained_id, b.id AS cid
+    FROM nd a JOIN nd b
+      ON a.norm <> b.norm
+     AND position((' ' || a.norm || ' ') IN (' ' || b.norm || ' ')) > 0
+    WHERE a.tc >= 3)
+  SELECT contained_id, min(cid) AS container_id,
+         CAST(count(*) AS BIGINT) AS n_containers
+  FROM pairs GROUP BY contained_id
+"""
+
+
+@q("dedup_containment", _CONTAIN_SQL)
+def dedup_containment(spark, sf_dir):
+    """Substring-containment dedup (dd.containment_dedup): exact-dup
+    collapse → rarest-shingle single-probe blocking → boundary-safe
+    instr verify, against a brute-force all-pairs DuckDB oracle — the
+    scalable plan must reproduce the naive quadratic answer exactly.
+    Corpus = documents plus planted snippet docs (tokens 4..11 of
+    every ninth long doc). Registry + pytest + oracle verified on
+    demand; demoted from the driver window (see __spark_entry__)."""
+    from ..datapipe.dedup import _tokens, containment_dedup
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    base = d.select("doc_id", toks.alias("toks"))
+    snippets = (base
+                .filter((F.col("doc_id") % 9 == 0) & (F.size("toks") >= 12))
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.concat_ws(" ", F.slice("toks", 4, 8))
+                        .alias("text")))
+    corpus = (base.select("doc_id",
+                          F.concat_ws(" ", "toks").alias("text"))
+              .unionByName(snippets))
+    return containment_dedup(corpus)

@@ -924,3 +924,63 @@ def test_setsim_join_finds_planted_twins_corpus(spark):
     verified = dd.ngram_jaccard(docs, lsh).filter("jaccard >= 0.8")
     lsh_pairs = {(r.left_id, r.right_id) for r in verified.collect()}
     assert lsh_pairs <= exact
+
+
+def test_containment_dedup_planted(spark):
+    """Token-level containment on planted cases: prefix / middle /
+    suffix runs are found, the mid-token character substring is NOT
+    (the ``"at the house" ⊂ "cat the house"`` trap the token-boundary
+    instr guards against), identical texts collapse to one
+    representative before pairing, sub-shingle docs are ineligible on
+    the contained side, and null text follows the ''==null
+    convention."""
+    from semlink.datapipe.dedup import containment_dedup
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "beta gamma delta epsilon"),        # middle run of 0
+        (2, "alpha beta gamma"),                # prefix run of 0
+        (3, "eta theta iota kappa"),            # suffix run of 0
+        (4, "at the house"),                    # char-substring trap:
+        (5, "cat the house and garden shed"),   #   NOT contained in 5
+        (6, "beta gamma delta epsilon"),        # identical to 1
+        (7, "zeta eta"),                        # 2 tokens: ineligible
+        (8, None), (9, ""),                     # null == empty, skipped
+        (10, "  beta   gamma  delta epsilon "),  # ws-normalizes to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.contained_id: (r.container_id, r.n_containers)
+           for r in containment_dedup(df).collect()}
+    # 1 is the representative of {1, 6, 10}; contained only in 0.
+    assert got == {1: (0, 1), 2: (0, 1), 3: (0, 1)}
+
+
+def test_containment_dedup_matches_brute_force(spark):
+    """The rarest-shingle blocked plan reproduces the naive all-pairs
+    answer exactly on a corpus slice plus planted snippet docs (the
+    query entry's derivation)."""
+    from pyspark.sql import functions as F
+    from semlink.datapipe.dedup import _tokens, containment_dedup
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").filter("doc_id < 300"))
+    base = docs.select(
+        "doc_id",
+        _tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"))
+    snip = (base.filter((F.col("doc_id") % 9 == 0) & (F.size("toks") >= 12))
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat_ws(" ", F.slice("toks", 4, 8)).alias("text")))
+    corpus = (base.select("doc_id", F.concat_ws(" ", "toks").alias("text"))
+              .unionByName(snip))
+    got = {r.contained_id: (r.container_id, r.n_containers)
+           for r in containment_dedup(corpus).collect()}
+    # brute force on the driver
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+    reps = {}
+    for i, t in sorted(rows):
+        reps.setdefault(" ".join(t.split()), i)
+    want = {}
+    for na, a in ((n, i) for n, i in reps.items() if len(n.split()) >= 3):
+        ctrs = [b for nb, b in reps.items()
+                if nb != na and (" " + na + " ") in (" " + nb + " ")]
+        if ctrs:
+            want[a] = (min(ctrs), len(ctrs))
+    assert got == want and len(want) > 0
