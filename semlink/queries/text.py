@@ -476,3 +476,42 @@ def text_corpus_filter(spark, sf_dir):
     oracle reuses both family bodies as subqueries, so the composition
     is hash-gated end-to-end like dedup_near_dup_clusters."""
     return ts.corpus_filter(_varied_docs(spark, sf_dir))
+
+
+_LM_SQL = """
+  WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                       x -> x <> '') AS toks
+    FROM documents),
+  idx AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM t WHERE len(toks) >= 2),
+  bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+  c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+  c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+  v AS (SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM t)),
+  term AS (
+    SELECT doc_id,
+           CAST(ROUND(-ln(CAST(c2.c2 + 1 AS DOUBLE)
+                          / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000)
+                AS BIGINT) AS nll6
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(nll6) AS BIGINT) AS nll6_sum,
+         CAST(CAST(sum(nll6) AS BIGINT) // CAST(count(*) AS BIGINT)
+              AS BIGINT) AS nll6_avg
+  FROM term GROUP BY doc_id
+"""
+
+
+@q("text_lm_perplexity", _LM_SQL)
+def text_lm_perplexity(spark, sf_dir):
+    """Corpus bigram-LM self-perplexity per document (lm.with_lm_nll)
+    — the CCNet-style quality signal, add-one smoothed, per-term
+    scaled-bigint quantization so both engines aggregate exact
+    integers. Registry + pytest + oracle verified on demand; demoted
+    from the driver window (see __spark_entry__)."""
+    from ..datapipe.lm import with_lm_nll
+    return with_lm_nll(_docs(spark, sf_dir))

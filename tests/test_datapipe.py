@@ -984,3 +984,37 @@ def test_containment_dedup_matches_brute_force(spark):
         if ctrs:
             want[a] = (min(ctrs), len(ctrs))
     assert got == want and len(want) > 0
+
+
+def test_lm_nll_matches_python_mirror(spark):
+    """with_lm_nll reproduces an independent driver-side add-one
+    bigram model bit-exactly (same per-term quantization), the
+    boilerplate doc made of corpus-frequent transitions scores LOWER
+    avg NLL than the one made of unique tokens, and <2-token / null
+    docs are excluded."""
+    import math
+    from collections import Counter
+    from semlink.datapipe.lm import with_lm_nll
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat again"),
+            (2, "the cat sat on the mat the cat sat on the mat"),
+            (3, "zeboric quv xalth wumpet drazzle"),
+            (4, "single"), (5, ""), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.nll6_sum, r.nll6_avg)
+           for r in with_lm_nll(df).collect()}
+    toks = {i: (t or "").split() for i, t in rows}
+    bgs = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    c2 = Counter(b for bs in bgs.values() for b in bs)
+    c1 = Counter(b[0] for bs in bgs.values() for b in bs)
+    v = len({w for ts in toks.values() for w in ts})
+    want = {}
+    for i, bs in bgs.items():
+        if not bs:
+            continue
+        terms = [round(-math.log((c2[b] + 1) / (c1[b[0]] + v)) * 1_000_000)
+                 for b in bs]
+        want[i] = (len(terms), sum(terms), sum(terms) // len(terms))
+    assert got == want
+    assert set(got) == {0, 1, 2, 3}
+    assert got[2][2] < got[3][2]  # fluent/repetitive < gibberish
