@@ -36,3 +36,33 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
     out = (df.withColumn("sample_rk", F.row_number().over(w))
            .filter(F.col("sample_rk") <= n_per_stratum))
     return out if keep_rank else out.drop("sample_rk")
+
+
+def token_budget_sample(df: DataFrame, strata_col: str,
+                        budget_tokens: int, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Deterministic per-stratum sample capped by TOKEN mass, not row
+    count — the data-mixing primitive ("x billion tokens per language
+    / source") a training corpus is actually assembled with.
+
+    Docs are admitted in the stratum's md5(id) pseudo-order while the
+    budget is unexhausted BEFORE them (``cum_tokens - tok_count <
+    budget``), so the sample overshoots by at most one document — the
+    standard greedy quota cut, reproducible across engines (the oracle
+    re-derives the exact row set; no rand()).
+
+    Token counts are whitespace tokens (the family-wide tokenizer,
+    null==''). Scale shape: one shuffle on the stratum key for the
+    running-sum window; see :func:`stratified_sample` on hot-stratum
+    salting.
+    """
+    toks = F.array_remove(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r" +"), "")
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("tok_count", F.size(toks).cast("bigint"))
+            .withColumn("cum_tokens", F.sum("tok_count").over(w))
+            .filter(F.col("cum_tokens") - F.col("tok_count")
+                    < budget_tokens)
+            .select(id_col, strata_col, "tok_count", "cum_tokens"))

@@ -1018,3 +1018,37 @@ def test_lm_nll_matches_python_mirror(spark):
     assert got == want
     assert set(got) == {0, 1, 2, 3}
     assert got[2][2] < got[3][2]  # fluent/repetitive < gibberish
+
+
+def test_token_budget_sample_greedy_cut(spark):
+    """Per-stratum admission follows the md5(id) pseudo-order, stops
+    at the first doc that starts at or past the budget (overshoot at
+    most one doc), strata are independent, and null text counts 0
+    tokens yet is admissible while budget remains."""
+    import hashlib
+    from semlink.datapipe.sampling import token_budget_sample
+    rows = [(i, "a", "tok " * 4) for i in range(10)]          # 4 each
+    rows += [(100 + i, "b", "x y z") for i in range(3)]       # 3 each
+    rows += [(200, "c", None), (201, "c", "one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = token_budget_sample(df, "lang", 10, text_col="text").collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(
+            (r.doc_id, r.tok_count, r.cum_tokens))
+    # mirror the greedy cut on the driver
+    def order(ids):
+        return sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))
+    a_ids = order(range(10))
+    want_a, cum = [], 0
+    for i in a_ids:
+        if cum >= 10:
+            break
+        cum += 4
+        want_a.append((i, 4, cum))
+    assert by_lang["a"] == sorted(by_lang["a"], key=lambda t: t[2])
+    assert sorted(by_lang["a"]) == sorted(want_a)
+    assert len(by_lang["a"]) == 3                # 4+4 < 10, +4 overshoots
+    assert len(by_lang["b"]) == 3                # 3+3+3 never reaches 10
+    assert {i for i, _, _ in by_lang["c"]} == {200, 201}
