@@ -498,3 +498,51 @@ def rl_filter_battery(spark, sf_dir):
         F.col("mention_id").alias("key"),
         F.length("ngram_norm").cast("bigint").alias("val"))
     return thr.unionByName(u).unionByName(s)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    s = 1_000_000_000
+    parts = [f"""
+  WITH pl AS (SELECT DISTINCT l_orderkey % 500 AS src_id,
+                              l_partkey % 500 AS dst_id
+              FROM lineitem),
+  nodes AS (SELECT src_id AS id FROM pl UNION SELECT dst_id FROM pl),
+  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+  outd AS (SELECT src_id, CAST(count(*) AS BIGINT) AS outdeg
+           FROM pl GROUP BY src_id),
+  r0 AS (SELECT id, CAST({s} // n AS BIGINT) AS pr9
+         FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""",
+  c{i} AS (SELECT pl.dst_id AS id,
+                  CAST(sum(r{p}.pr9 // outd.outdeg) AS BIGINT) AS in_sum
+           FROM r{p} JOIN pl ON r{p}.id = pl.src_id
+           JOIN outd ON pl.src_id = outd.src_id
+           GROUP BY pl.dst_id),
+  d{i} AS (SELECT CAST(coalesce(sum(r{p}.pr9), 0) AS BIGINT) AS dang
+           FROM r{p} LEFT JOIN outd ON r{p}.id = outd.src_id
+           WHERE outd.src_id IS NULL),
+  r{i} AS (SELECT nodes.id,
+                  CAST({15 * s} // (n * 100)
+                       + (85 * (coalesce(in_sum, 0) + dang // n)) // 100
+                       AS BIGINT) AS pr9
+           FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id
+           CROSS JOIN d{i} CROSS JOIN nn)""")
+    parts.append(f"""
+  SELECT id AS target_id, pr9 FROM r{iters}""")
+    return "".join(parts)
+
+
+@q("rl_pagerank_prior", _pagerank_oracle())
+def rl_pagerank_prior(spark, sf_dir):
+    """Integer-exact damped PageRank (semlink.graphrank) over the
+    synthetic page-link graph — the iterative page-popularity prior
+    beside A9's degree counts. Three synchronous iterations; the
+    oracle unrolls the SAME integer recurrence as CTEs, so every
+    scaled-bigint rank must match verbatim. Registry + pytest +
+    oracle verified on demand; demoted from the driver window (see
+    __spark_entry__)."""
+    from ..graphrank import pagerank
+    pl, _pages = _spark_page_graph(spark, sf_dir)
+    return pagerank(pl).select(F.col("id").alias("target_id"), "pr9")
