@@ -53,6 +53,8 @@ HEADLINE = [
     "rl_meta_blocking", "dedup_setsim_join", "rl_cluster_review",
     "agg_pricing_summary",
     "rl_pprl_bloom", "rl_soft_tfidf",
+    "dedup_containment", "text_lm_perplexity", "sample_token_budget",
+    "rl_pagerank_prior", "text_novelty", "media_video_frames",
 ]
 
 # headline entries that did not exist in the previous round's bench —
@@ -76,7 +78,12 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                # NOT benched: their cost is the same nation-blocked
                # levenshtein candidate pass rl_fellegi_sunter already
                # times (~25 s each at sf0.1), pure redundancy per draw
-               "rl_pprl_bloom", "rl_soft_tfidf"]
+               "rl_pprl_bloom", "rl_soft_tfidf",
+               # session 2 of round 5: containment dedup, bigram-LM
+               # perplexity, token-budget sampling, PageRank prior
+               "dedup_containment", "text_lm_perplexity",
+               "sample_token_budget", "rl_pagerank_prior",
+               "text_novelty", "media_video_frames"]
 
 
 def ensure_bench_fixture(spark) -> str:

@@ -297,22 +297,23 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif_pixels(payload: bytes) -> dict:
-    """REAL GIF pixel decode, zero image-library dependencies (round 4
-    follow-on to decode_png_pixels): header + logical screen
-    descriptor → color tables → first image descriptor → pure-Python
-    LZW decompression (variable-width codes, CLEAR/EOI, KwKwK case) →
-    palette mapping to an RGB sample stream.
+def decode_gif_frames(payload: bytes) -> list:
+    """REAL multi-frame (animated) GIF decode, zero image-library
+    dependencies: header + logical screen descriptor → color tables →
+    EVERY image descriptor in turn — pure-Python LZW decompression
+    (variable-width codes, CLEAR/EOI, KwKwK case) → per-frame palette
+    mapping (global or local) to an RGB sample stream.
 
-    Same stats contract as PNG: {n_px, mean, px_digest} with
-    px_digest = md5(hex(RGB bytes, row-major)). Returns None values
-    for non-GIF / interlaced / malformed payloads (never raises).
-    Pinned by tests/test_datapipe.py against a reference LZW encoder.
+    Returns [{frame_idx, n_px, mean, px_digest}, ...] with px_digest =
+    md5(hex(RGB bytes, row-major)) per frame. Stops GRACEFULLY at the
+    first malformed / interlaced / unsupported frame and returns the
+    frames decoded so far (a good leading frame is never lost to a bad
+    tail); non-GIF payloads return []. Never raises.
     """
-    none = {"n_px": None, "mean": None, "px_digest": None}
     p = payload or b""
+    frames: list = []
     if p[:6] not in (b"GIF87a", b"GIF89a"):
-        return none
+        return frames
     try:
         gct = b""
         packed = p[10]
@@ -338,7 +339,7 @@ def decode_gif_pixels(payload: bytes) -> dict:
                     pal = p[i:i + n]
                     i += n
                 if ipacked & 0x40:              # interlaced — not supported
-                    return none
+                    return frames
                 min_code = p[i]
                 i += 1
                 data = bytearray()
@@ -346,9 +347,10 @@ def decode_gif_pixels(payload: bytes) -> dict:
                     ln = p[i]
                     data += p[i + 1:i + 1 + ln]
                     i += 1 + ln
+                i += 1                          # sub-block terminator
                 idx = _lzw_decode(bytes(data), min_code)
                 if len(idx) < w * h or not pal:
-                    return none
+                    return frames
                 # vectorized palette map, same shape as the PNG
                 # indexed-color path (VERDICT r04 wrong #1): LZW output
                 # is inherently sequential Python, but the per-pixel
@@ -357,20 +359,37 @@ def decode_gif_pixels(payload: bytes) -> dict:
                 pa = np.frombuffer(pal, dtype=np.uint8)
                 pa = pa[:len(pa) - len(pa) % 3].reshape(-1, 3)
                 if ia.size and int(ia.max()) >= pa.shape[0]:
-                    return none
+                    return frames
                 rgb = pa[ia].tobytes()
                 mean = (np.frombuffer(rgb, np.uint8).mean()
                         if rgb else 0.0)
-                return {"n_px": w * h, "mean": float(mean),
-                        "px_digest": hashlib.md5(
-                            rgb.hex().encode()).hexdigest()}
+                frames.append({"frame_idx": len(frames), "n_px": w * h,
+                               "mean": float(mean),
+                               "px_digest": hashlib.md5(
+                                   rgb.hex().encode()).hexdigest()})
             elif b0 == 0x3B:                    # trailer
                 break
             else:
-                return none
-        return none
+                return frames
+        return frames
     except (struct.error, IndexError, ValueError):
-        return none
+        return frames
+
+
+def decode_gif_pixels(payload: bytes) -> dict:
+    """REAL GIF pixel decode (round 4 follow-on to decode_png_pixels):
+    the FIRST frame of :func:`decode_gif_frames`, with the same stats
+    contract as PNG — {n_px, mean, px_digest}, px_digest =
+    md5(hex(RGB bytes, row-major)). Returns None values for non-GIF /
+    interlaced / malformed payloads (never raises). Pinned by
+    tests/test_datapipe.py against a reference LZW encoder.
+    """
+    frames = decode_gif_frames(payload)
+    if not frames:
+        return {"n_px": None, "mean": None, "px_digest": None}
+    f0 = frames[0]
+    return {"n_px": f0["n_px"], "mean": f0["mean"],
+            "px_digest": f0["px_digest"]}
 
 
 class _JpegBitReader:
@@ -912,4 +931,128 @@ def synthesize_jpeg_fixtures(n: int = 60) -> list:
         rst = 2 if i % 3 == 0 else 0
         out.append((f"j{i}", encode_baseline_jpeg(img, restart_interval=rst),
                     w, h, 3 if color else 1))
+    return out
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("n_frames", LongType(), False),
+    StructField("n_px", LongType(), True),
+    StructField("mean", DoubleType(), True),
+    StructField("px_digest", StringType(), True),
+])
+
+
+def extract_frame_stats(media: DataFrame, every_k: int = 1,
+                        max_frames: int = 64) -> DataFrame:
+    """Video-style FRAME SAMPLING over animated payloads: one output
+    row per sampled frame (frame_idx % every_k == 0, capped at
+    `max_frames` sampled frames), with `n_frames` carrying the full
+    decoded frame count so the sampling rate stays auditable.
+
+    Animated GIF is the container actually decoded (library-free,
+    :func:`decode_gif_frames`); true video codecs stay honestly gated
+    behind :func:`decode_pixels_stub`. Same Arrow-batched mapInPandas
+    shape as extract_pixel_stats — the fan-out (≤ max_frames rows per
+    input row) happens inside the worker, so at 100 TB the decode
+    parallelism is the input partitioning and no shuffle is added;
+    payloads that decode to zero frames emit nothing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {"media_id": [], "frame_idx": [], "n_frames": [],
+                    "n_px": [], "mean": [], "px_digest": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fr = decode_gif_frames(p)
+                kept = [f for f in fr
+                        if f["frame_idx"] % every_k == 0][:max_frames]
+                for f in kept:
+                    cols["media_id"].append(mid)
+                    cols["frame_idx"].append(f["frame_idx"])
+                    cols["n_frames"].append(len(fr))
+                    cols["n_px"].append(f["n_px"])
+                    cols["mean"].append(f["mean"])
+                    cols["px_digest"].append(f["px_digest"])
+            out = pd.DataFrame(cols)
+            out["frame_idx"] = out["frame_idx"].astype("int64")
+            out["n_frames"] = out["n_frames"].astype("int64")
+            out["n_px"] = out["n_px"].astype("Int64")
+            out["mean"] = out["mean"].astype("float64")
+            yield out
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthesize_animation_fixtures(n: int = 40) -> list:
+    """Deterministic ANIMATED-GIF fixtures for the media_video_frames
+    contract entry: the i-th clip's dimensions, frame count, palette
+    flavor and per-frame affine pixel pattern all derive from
+    md5(str(i)).
+
+    Encoding uses the classic UNCOMPRESSED-GIF trick (8-bit literal
+    codes at 9-bit width, CLEAR re-issued every 125 codes so neither
+    side's table ever forces a width bump) — deliberately a DIFFERENT
+    strategy from the tests' real-LZW reference encoder, so the two
+    pins are independent. Odd frames carry a LOCAL color table and
+    every frame is preceded by a graphic-control extension,
+    exercising the decoder's palette switching and extension-skip
+    paths. Returns [(media_id, payload, n_frames, w, h), ...].
+    """
+    out = []
+    for i in range(n):
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        w = 4 + int(hx[0:2], 16) % 13
+        h = 4 + int(hx[2:4], 16) % 13
+        nf = 1 + int(hx[4:6], 16) % 6
+        a, b, c, d = (int(hx[6:8], 16), 1 + int(hx[8:10], 16) % 7,
+                      1 + int(hx[10:12], 16) % 7,
+                      1 + int(hx[12:14], 16) % 31)
+        gpal = bytes(bytearray(
+            v for j in range(256) for v in (j, (j * 7) % 256, 255 - j)))
+        lpal = bytes(bytearray(
+            v for j in range(256)
+            for v in ((j * 3) % 256, j, (j * 11) % 256)))
+        buf = bytearray(b"GIF89a")
+        buf += struct.pack("<HH", w, h)
+        buf += bytes([0x80 | 0x07, 0, 0])       # 256-color GCT
+        buf += gpal
+        for f in range(nf):
+            # graphic control extension (delay = f, no transparency)
+            buf += b"\x21\xf9\x04\x00" + struct.pack("<H", f) + b"\x00\x00"
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = ((a + b * xx + c * yy + d * f) % 256).astype(
+                np.uint8).ravel()
+            local = f % 2 == 1
+            buf += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            buf += bytes([0x80 | 0x07 if local else 0x00])
+            if local:
+                buf += lpal
+            # uncompressed trick: 9-bit literals, CLEAR every 125
+            codes = [256]
+            for j, px in enumerate(idx):
+                if j and j % 125 == 0:
+                    codes.append(256)
+                codes.append(int(px))
+            codes.append(257)
+            acc = nacc = 0
+            bits = bytearray()
+            for cde in codes:
+                acc |= cde << nacc
+                nacc += 9
+                while nacc >= 8:
+                    bits.append(acc & 0xFF)
+                    acc >>= 8
+                    nacc -= 8
+            if nacc:
+                bits.append(acc & 0xFF)
+            buf += bytes([8])                   # min LZW code size
+            data = bytes(bits)
+            for j in range(0, len(data), 255):
+                chunk = data[j:j + 255]
+                buf += bytes([len(chunk)]) + chunk
+            buf += b"\x00"
+        buf += b"\x3b"
+        out.append((f"v{i}", bytes(buf), nf, w, h))
     return out

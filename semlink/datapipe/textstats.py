@@ -572,3 +572,39 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                     F.col("tf").cast("bigint").alias("tf"),
                     F.col("df_t").cast("bigint").alias("df_t"),
                     "tfidf6", "rk"))
+
+
+def with_novelty(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """Shingle-novelty score: the fraction of a document's DISTINCT
+    n-token shingles that occur in NO other document (corpus df == 1)
+    — the inverse boilerplate signal (site chrome, licence blocks and
+    templated text share shingles corpus-wide and score low; unique
+    prose scores high). Complements the within-doc repetition family:
+    repetition measures self-similarity, novelty measures
+    cross-corpus similarity.
+
+    Scale shape: the near-dup family's exploded-shingle generator
+    (one codegen explode), a map-side-combined df groupBy on the
+    shingle key, one equi join back and one groupBy(id). A df==1 test
+    only ever needs the count capped at 2 — at extreme scale the df
+    table can be pre-capped (HAVING count <= 1 semi-join) to shrink
+    the join's build side; here the plain join keeps the oracle shape
+    identical.
+
+    Output: (id, n_shingles, n_novel, novelty6) over distinct
+    shingles; the family-wide null=='' convention applies (empty docs
+    share the '' shingle and so score 0 whenever two exist).
+    """
+    from .dedup import shingles_exploded
+    sh = shingles_exploded(df, id_col, text_col, n).distinct()
+    dfq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    novel = F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+    return (sh.join(dfq, "s")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                 novel.cast("bigint").alias("n_novel"))
+            .withColumn("novelty6",
+                        F.round(F.col("n_novel").cast("double")
+                                / F.col("n_shingles") * 1_000_000)
+                        .cast("bigint")))

@@ -152,3 +152,44 @@ def media_jpeg(spark, sf_dir):
     return s.select("media_id", "n_px",
                     F.round(F.col("mean") * SCALE).cast("bigint")
                     .alias("mean6"), "px_digest")
+
+
+# ------------------------------------------------------- video frames
+def _frame_golden_rows():
+    import json
+    import os
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "datapipe", "golden_frames.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+_FRAME_VALUES = ",\n    ".join(
+    f"('{mid}', CAST({fi} AS BIGINT), CAST({nf} AS BIGINT),"
+    f" CAST({n} AS BIGINT), CAST({m6} AS BIGINT), '{dig}')"
+    for mid, fi, nf, n, m6, dig in _frame_golden_rows())
+
+@q("media_video_frames", f"""
+  SELECT media_id, frame_idx, n_frames, n_px, mean6, px_digest
+  FROM (VALUES {_FRAME_VALUES})
+    AS t(media_id, frame_idx, n_frames, n_px, mean6, px_digest)
+""")
+def media_video_frames(spark, sf_dir):
+    """Video-style FRAME SAMPLING through the distributed mapInPandas
+    path: 40 deterministic animated-GIF fixtures (uncompressed-LZW
+    trick, per-frame graphic-control extensions, alternating global/
+    local palettes) are multi-frame decoded by decode_gif_frames and
+    sampled at every_k=2; the oracle is a pinned golden-constant
+    table (the media_jpeg pattern — a GIF LZW bitstream is not
+    closed-form in SQL), re-derived from the decoder by pytest so
+    staleness fails the suite. Registry + pytest + oracle verified on
+    demand; demoted from the driver window (see __spark_entry__)."""
+    from ..datapipe.multimodal import (extract_frame_stats,
+                                       synthesize_animation_fixtures)
+    rows = [(mid, bytearray(payload))
+            for mid, payload, _nf, _w, _h in synthesize_animation_fixtures(40)]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    s = extract_frame_stats(media, every_k=2)
+    return s.select("media_id", "frame_idx", "n_frames", "n_px",
+                    F.round(F.col("mean") * SCALE).cast("bigint")
+                    .alias("mean6"), "px_digest")

@@ -515,3 +515,38 @@ def text_lm_perplexity(spark, sf_dir):
     from the driver window (see __spark_entry__)."""
     from ..datapipe.lm import with_lm_nll
     return with_lm_nll(_docs(spark, sf_dir))
+
+
+@q("text_novelty", """
+  WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                       x -> x <> '') AS toks
+    FROM documents),
+  sh0 AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i : i + 2], ' '))
+           ELSE [array_to_string(toks, ' ')] END AS sh
+    FROM t),
+  sh AS (SELECT DISTINCT doc_id, s
+         FROM (SELECT doc_id, unnest(sh) AS s FROM sh0)),
+  dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+         CAST(ROUND(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*) * 1000000) AS BIGINT)
+           AS novelty6
+  FROM sh JOIN dfq USING (s)
+  GROUP BY doc_id
+""")
+def text_novelty(spark, sf_dir):
+    """Cross-corpus shingle novelty (ts.with_novelty): fraction of a
+    doc's distinct shingles unique to it — the inverse boilerplate
+    signal beside the within-doc repetition family. Registry + pytest
+    + oracle verified on demand; demoted from the driver window (see
+    __spark_entry__)."""
+    return ts.with_novelty(_docs(spark, sf_dir))

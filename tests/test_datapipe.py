@@ -1052,3 +1052,109 @@ def test_token_budget_sample_greedy_cut(spark):
     assert len(by_lang["a"]) == 3                # 4+4 < 10, +4 overshoots
     assert len(by_lang["b"]) == 3                # 3+3+3 never reaches 10
     assert {i for i, _, _ in by_lang["c"]} == {200, 201}
+
+
+def test_decode_gif_frames_animated_roundtrip():
+    """Multi-frame decode pinned against the INDEPENDENT real-LZW
+    reference encoder (the package fixtures use the uncompressed
+    trick, so the two pins don't share an encoding strategy): an
+    animation is spliced from per-frame _encode_gif sections, and
+    every frame's pixels must round-trip; a malformed tail loses only
+    the tail."""
+    import numpy as np
+
+    from semlink.datapipe.multimodal import decode_gif_frames
+
+    w, h = 9, 5
+    palette = bytes(bytearray(v for j in range(16)
+                              for v in (j * 16, 255 - j * 16, j)))
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 16, size=w * h).astype(np.uint8).tobytes()
+              for _ in range(4)]
+    encs = [_encode_gif(fx, w, h, palette) for fx in frames]
+    # header + global color table span up to the first image descriptor
+    head_len = encs[0].index(b"\x2c")
+    anim = bytearray(encs[0][:head_len])
+    for e in encs:
+        anim += e[e.index(b"\x2c"):-1]      # image section, keep \x00
+    anim += b"\x3b"
+    got = decode_gif_frames(bytes(anim))
+    assert len(got) == 4
+    pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+    import hashlib
+    for f, idx in zip(got, frames):
+        rgb = pal[np.frombuffer(idx, np.uint8)].tobytes()
+        assert f["n_px"] == w * h
+        assert f["px_digest"] == hashlib.md5(rgb.hex().encode()).hexdigest()
+    # truncated tail: frames decoded so far survive
+    cut = bytes(anim[: head_len + 2 * (len(encs[0]) - head_len - 1) + 5])
+    part = decode_gif_frames(cut)
+    assert 1 <= len(part) <= 3
+    assert part[0]["px_digest"] == got[0]["px_digest"]
+
+
+def test_video_frame_golden_rederive():
+    """The pinned media_video_frames golden table must equal a fresh
+    multi-frame decode of the animation fixtures at every_k=2 — a
+    stale golden_frames.json fails here before it can mislead the
+    driver gate."""
+    import json
+    import os
+
+    from semlink.datapipe.multimodal import (decode_gif_frames,
+                                             synthesize_animation_fixtures)
+
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "semlink", "datapipe",
+        "golden_frames.json")
+    golden = {(r[0], r[1]): r[2:] for r in json.load(open(p))}
+    fx = synthesize_animation_fixtures(40)
+    fresh = {}
+    for mid, payload, nf, w, h in fx:
+        fr = decode_gif_frames(payload)
+        assert len(fr) == nf
+        for f in fr:
+            if f["frame_idx"] % 2 == 0:
+                fresh[(mid, f["frame_idx"])] = [
+                    len(fr), f["n_px"], round(f["mean"] * 1e6),
+                    f["px_digest"]]
+    assert fresh == golden and len(golden) == 70
+
+
+def test_extract_frame_stats_sampling(spark):
+    """every_k / max_frames semantics through the Arrow path: a
+    6-frame clip sampled at every_k=2 yields frames 0/2/4 with
+    n_frames=6; max_frames=2 truncates; non-GIF payloads emit no
+    rows."""
+    from semlink.datapipe.multimodal import (extract_frame_stats,
+                                             synthesize_animation_fixtures)
+    fx = [(mid, bytearray(p)) for mid, p, nf, _w, _h
+          in synthesize_animation_fixtures(40) if nf == 6][:1]
+    assert fx, "need a 6-frame fixture"
+    fx.append(("junk", bytearray(b"not a gif")))
+    media = spark.createDataFrame(fx, "media_id string, payload binary")
+    got = extract_frame_stats(media, every_k=2).collect()
+    assert sorted(r.frame_idx for r in got) == [0, 2, 4]
+    assert all(r.n_frames == 6 for r in got)
+    assert {r.media_id for r in got} == {fx[0][0]}
+    capped = extract_frame_stats(media, every_k=1, max_frames=2).collect()
+    assert sorted(r.frame_idx for r in capped) == [0, 1]
+
+
+def test_novelty_planted(spark):
+    """Boilerplate shared between docs scores 0 novelty, unique prose
+    scores 1, a half-shared doc lands in between, and the twin empty
+    docs share the '' shingle (family null=='' convention)."""
+    from semlink.datapipe.textstats import with_novelty
+    boiler = "all rights reserved contact us terms of service"
+    rows = [(0, boiler), (1, boiler),
+            (2, "completely unique prose about distributed shuffles"),
+            (3, boiler + " plus a unique trailing clause here"),
+            (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty6)
+           for r in with_novelty(df).collect()}
+    assert got[0][2] == 0 and got[1][2] == 0           # pure boilerplate
+    assert got[2][1] == got[2][0] and got[2][2] == 1_000_000
+    assert 0 < got[3][2] < 1_000_000                   # mixed doc
+    assert got[4] == (1, 0, 0) and got[5] == (1, 0, 0)  # shared ''
