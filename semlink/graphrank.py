@@ -40,9 +40,14 @@ SCALE9 = 1_000_000_000
 
 
 def pagerank(edges: DataFrame, iters: int = 3,
-             src_col: str = "src_id", dst_col: str = "dst_id") -> DataFrame:
+             src_col: str = "src_id", dst_col: str = "dst_id",
+             checkpoint: bool = True) -> DataFrame:
     """Integer-exact damped PageRank; returns (id, pr9) after `iters`
-    synchronous iterations over the DISTINCT edge set."""
+    synchronous iterations over the DISTINCT edge set.
+
+    ``checkpoint=False`` keeps the full declarative lineage — only for
+    plan inspection (tools/explain_audit.py audits ONE iteration's
+    join shape that way); real runs keep the per-superstep cut."""
     e = edges.select(F.col(src_col).alias("src_id"),
                      F.col(dst_col).alias("dst_id")).distinct()
     nodes = (e.select(F.col("src_id").alias("id"))
@@ -69,4 +74,11 @@ def pagerank(edges: DataFrame, iters: int = 3,
                      F.expr(f"{15 * SCALE9} div (n * 100)"
                             " + (85 * (in_sum + dang div n)) div 100")
                      .cast("long").alias("pr9")))
+        # sever lineage per superstep (the CC family's checkpoint
+        # discipline): the rank table is referenced TWICE next
+        # iteration (contribution join + dangling aggregate), so an
+        # unbroken plan re-computes r_{k-1} 2^k times and stacks every
+        # 1-row crossJoin of every past iteration into one tree
+        if checkpoint:
+            r = r.localCheckpoint()
     return r

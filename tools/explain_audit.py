@@ -285,6 +285,56 @@ def main():
                    and "CartesianProduct" not in p17
                    and _nodes(p17, "BroadcastNestedLoopJoin") <= 2))
 
+    # 18. containment dedup: the rarest-shingle candidate join is a
+    # hash equi join on the shingle key — never a cartesian — and the
+    # whole verify chain stays JVM-side
+    from semlink.queries.dedup import dedup_containment
+    p18 = formatted(dedup_containment(spark, sf))
+    sections["containment dedup"] = p18
+    checks.append(("containment: equi-join candidates, JVM-only verify",
+                   "CartesianProduct" not in p18
+                   and "BatchEvalPython" not in p18
+                   and "ArrowEvalPython" not in p18
+                   and "BroadcastNestedLoopJoin" not in p18))
+
+    # 19. bigram LM: count-table joins are equi joins; the only
+    # nested-loop join is the 1-row vocabulary broadcast; no Python
+    from semlink.queries.text import text_lm_perplexity
+    p19 = formatted(text_lm_perplexity(spark, sf))
+    sections["bigram-LM perplexity"] = p19
+    checks.append(("lm perplexity: equi count joins, 1-row-only "
+                   "nested loop, JVM-only",
+                   "CartesianProduct" not in p19
+                   and "BatchEvalPython" not in p19
+                   and "ArrowEvalPython" not in p19
+                   and _nodes(p19, "BroadcastNestedLoopJoin") <= 1))
+
+    # 20. PageRank: ONE un-checkpointed iteration's plan (real runs
+    # sever lineage per superstep) — every rank/edge/out-degree join
+    # is an equi join; nested loops only for the 1-row N / dangling
+    # broadcasts; integer expressions, no Python
+    from semlink.graphrank import pagerank
+    from semlink.queries.rlcov import _spark_page_graph
+    pl_edges, _pg = _spark_page_graph(spark, sf)
+    p20 = formatted(pagerank(pl_edges, iters=1, checkpoint=False))
+    sections["PageRank prior (one superstep)"] = p20
+    checks.append(("pagerank: equi joins, 1-row-only nested loops, "
+                   "JVM-only",
+                   "CartesianProduct" not in p20
+                   and "BatchEvalPython" not in p20
+                   and "ArrowEvalPython" not in p20
+                   and 1 <= _nodes(p20, "BroadcastNestedLoopJoin") <= 4))
+
+    # 21. token-budget sample: the running-sum window partitions by
+    # the stratum key (hashpartitioning), never a global sort
+    from semlink.queries.sampling import sample_token_budget
+    p21 = formatted(sample_token_budget(spark, sf))
+    sections["token-budget sample"] = p21
+    checks.append(("token budget: window keyed by stratum, "
+                   "no SinglePartition exchange",
+                   "Exchange SinglePartition" not in p21
+                   and "hashpartitioning(lang" in p21))
+
     out = ["# PLANS — physical plan audit\n",
            "Generated by tools/explain_audit.py. Checks:\n"]
     ok = True
