@@ -55,6 +55,7 @@ HEADLINE = [
     "rl_pprl_bloom", "rl_soft_tfidf",
     "dedup_containment", "text_lm_perplexity", "sample_token_budget",
     "rl_pagerank_prior", "text_novelty", "media_video_frames",
+    "media_ahash_dedup",
 ]
 
 # headline entries that did not exist in the previous round's bench —
@@ -83,7 +84,8 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                # perplexity, token-budget sampling, PageRank prior
                "dedup_containment", "text_lm_perplexity",
                "sample_token_budget", "rl_pagerank_prior",
-               "text_novelty", "media_video_frames"]
+               "text_novelty", "media_video_frames",
+               "media_ahash_dedup"]
 
 
 def ensure_bench_fixture(spark) -> str:

@@ -135,7 +135,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
 
 
-def decode_png_pixels(payload: bytes) -> dict:
+def decode_png_pixels(payload: bytes, return_px: bool = False) -> dict:
     """REAL PNG pixel decode with zero image-library dependencies
     (VERDICT r03 next #4): chunk walk → zlib inflate of concatenated
     IDAT (stdlib; validates the stream's adler32) → per-scanline
@@ -233,9 +233,13 @@ def decode_png_pixels(payload: bytes) -> dict:
                 return none
             out = pal[idx]
         pix = out.tobytes()
-        return {"n_px": w * h,
-                "mean": float(np.mean(out)),
-                "px_digest": hashlib.md5(pix.hex().encode()).hexdigest()}
+        res = {"n_px": w * h,
+               "mean": float(np.mean(out)),
+               "px_digest": hashlib.md5(pix.hex().encode()).hexdigest()}
+        if return_px:
+            c = 3 if ct == 3 else _PNG_CHANNELS[ct]
+            res["px"] = np.frombuffer(pix, np.uint8).reshape(h, w, c)
+        return res
     except (struct.error, IndexError, zlib.error, ValueError):
         return none
 
@@ -297,7 +301,7 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif_frames(payload: bytes) -> list:
+def decode_gif_frames(payload: bytes, return_px: bool = False) -> list:
     """REAL multi-frame (animated) GIF decode, zero image-library
     dependencies: header + logical screen descriptor → color tables →
     EVERY image descriptor in turn — pure-Python LZW decompression
@@ -363,10 +367,13 @@ def decode_gif_frames(payload: bytes) -> list:
                 rgb = pa[ia].tobytes()
                 mean = (np.frombuffer(rgb, np.uint8).mean()
                         if rgb else 0.0)
-                frames.append({"frame_idx": len(frames), "n_px": w * h,
-                               "mean": float(mean),
-                               "px_digest": hashlib.md5(
-                                   rgb.hex().encode()).hexdigest()})
+                fr = {"frame_idx": len(frames), "n_px": w * h,
+                      "mean": float(mean),
+                      "px_digest": hashlib.md5(
+                          rgb.hex().encode()).hexdigest()}
+                if return_px:
+                    fr["px"] = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                frames.append(fr)
             elif b0 == 0x3B:                    # trailer
                 break
             else:
@@ -470,7 +477,7 @@ def _jpeg_decode_block(br, dctab, actab, pred):
     return zz, dc
 
 
-def decode_jpeg_pixels(payload: bytes) -> dict:
+def decode_jpeg_pixels(payload: bytes, return_px: bool = False) -> dict:
     """REAL baseline JPEG pixel decode, pure Python + numpy (VERDICT
     r04 next #3 — the last image-format stub closed): marker walk →
     DQT/DHT/DRI parse → Huffman entropy decode (restart-aware) →
@@ -626,9 +633,12 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             b = y + 1.772 * (cb - 128.0)
             out = np.stack([clip8(r), clip8(g), clip8(b)], axis=-1)
         pix = out.tobytes()
-        return {"n_px": int(w) * int(h),
-                "mean": float(np.mean(out)),
-                "px_digest": hashlib.md5(pix.hex().encode()).hexdigest()}
+        res = {"n_px": int(w) * int(h),
+               "mean": float(np.mean(out)),
+               "px_digest": hashlib.md5(pix.hex().encode()).hexdigest()}
+        if return_px:
+            res["px"] = out
+        return res
     except (struct.error, IndexError, ValueError, KeyError, StopIteration):
         return none
 
@@ -1055,4 +1065,158 @@ def synthesize_animation_fixtures(n: int = 40) -> list:
             buf += b"\x00"
         buf += b"\x3b"
         out.append((f"v{i}", bytes(buf), nf, w, h))
+    return out
+
+
+def ahash64(px: np.ndarray) -> str | None:
+    """Perceptual average-hash (aHash — the classic pHash-family
+    baseline): BT.601 integer luminance → 8×8 BLOCK-MEAN RESIZE (the
+    pipeline brief's resize op, with floor-partitioned cells so any
+    input geometry maps deterministically) → threshold each cell at
+    the 64-cell mean → 64 bits, returned as 16 hex chars (row-major,
+    MSB first).
+
+    Invariances that make it a perceptual DEDUP key: exact under
+    constant brightness shift (the threshold shifts with the mean, so
+    strict > comparisons are preserved while no sample clips), under
+    lossless format conversion (PNG and GIF of the same pixels hash
+    identically — gray v maps to (299v+587v+114v)//1000 == v), and
+    under resampling that preserves cell means. Hamming distance on
+    the 64 bits ranks near-duplicates; exact equality groups them.
+    """
+    if px is None or px.ndim != 3 or px.shape[0] < 1 or px.shape[1] < 1:
+        return None
+    h, w, c = px.shape
+    a = px.astype(np.int64)
+    if c >= 3:
+        lum = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    else:
+        lum = a[..., 0]
+    ys = [h * i // 8 for i in range(9)]
+    xs = [w * i // 8 for i in range(9)]
+    m = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        y0 = min(ys[i], h - 1)
+        y1 = max(ys[i + 1], y0 + 1)
+        for j in range(8):
+            x0 = min(xs[j], w - 1)
+            x1 = max(xs[j + 1], x0 + 1)
+            m[i, j] = lum[y0:y1, x0:x1].mean()
+    bits = (m > m.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
+def decode_image_ahash(payload: bytes) -> str | None:
+    """Container dispatch for :func:`ahash64`: PNG / first GIF frame /
+    baseline JPEG; None for undecodable payloads."""
+    p = payload or b""
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        r = decode_png_pixels(p, return_px=True)
+        return ahash64(r.get("px")) if r.get("px") is not None else None
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        fr = decode_gif_frames(p, return_px=True)
+        return ahash64(fr[0]["px"]) if fr else None
+    if p[:2] == b"\xff\xd8":
+        r = decode_jpeg_pixels(p, return_px=True)
+        return ahash64(r.get("px")) if r.get("px") is not None else None
+    return None
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("ahash", StringType(), True),
+])
+
+
+def extract_ahash(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash extraction — decode + resize +
+    hash per payload inside the worker (same mapInPandas shape as the
+    other extractors; no shuffle). The downstream exact-equality
+    groupBy on the 16-hex key is the perceptual dedup: one uniform
+    shuffle, map-side combined."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ahash": [decode_image_ahash(p) for p in pdf["payload"]],
+            })
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def _encode_gray_png(img: np.ndarray) -> bytes:
+    """Minimal valid grayscale 8-bit PNG (filter None rows, one zlib
+    IDAT) — fixture-side only, for the perceptual-dedup entry."""
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].astype(np.uint8).tobytes()
+                   for r in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _encode_gray_gif(img: np.ndarray) -> bytes:
+    """Minimal valid grayscale GIF (uncompressed-LZW trick, 256-entry
+    gray palette j→(j,j,j)) — fixture-side only."""
+    h, w = img.shape
+    pal = bytes(bytearray(v for j in range(256) for v in (j, j, j)))
+    buf = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    buf += bytes([0x80 | 0x07, 0, 0]) + pal
+    buf += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    codes = [256]
+    for j, px in enumerate(img.astype(np.uint8).ravel()):
+        if j and j % 125 == 0:
+            codes.append(256)
+        codes.append(int(px))
+    codes.append(257)
+    acc = nacc = 0
+    bits = bytearray()
+    for cde in codes:
+        acc |= cde << nacc
+        nacc += 9
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        bits.append(acc & 0xFF)
+    buf += bytes([8])
+    data = bytes(bits)
+    for j in range(0, len(data), 255):
+        buf += bytes([len(data[j:j + 255])]) + data[j:j + 255]
+    buf += b"\x00\x3b"
+    return bytes(buf)
+
+
+def synthesize_phash_fixtures(n_groups: int = 12) -> list:
+    """Deterministic perceptual-twin fixtures: per group, ONE random
+    luminance pattern (values 20..179, so a +30 brightness shift never
+    clips) rendered three ways that must aHash identically — the PNG,
+    the same pixels as a GIF (lossless cross-format), and the PNG
+    brightened by +30 (shift invariance) — plus one unrelated JPEG
+    singleton per group. Returns [(media_id, payload, group_id), ...]
+    with group_id = -1 for singletons.
+    """
+    from .jpegenc import encode_baseline_jpeg
+    out = []
+    for g in range(n_groups):
+        hx = hashlib.md5(f"ph{g}".encode()).hexdigest()
+        w = 16 + int(hx[0:2], 16) % 17
+        h = 16 + int(hx[2:4], 16) % 17
+        rs = np.random.RandomState(1000 + g)
+        base = (20 + rs.randint(0, 160, size=(h, w))).astype(np.uint8)
+        out.append((f"ph{g}_png", _encode_gray_png(base), g))
+        out.append((f"ph{g}_gif", _encode_gray_gif(base), g))
+        out.append((f"ph{g}_bright", _encode_gray_png(base + 30), g))
+        jimg = (rs.randint(0, 256, size=(h, w))).astype(np.uint8)
+        out.append((f"ph{g}_jpeg", encode_baseline_jpeg(jimg), -1))
     return out

@@ -193,3 +193,45 @@ def media_video_frames(spark, sf_dir):
     return s.select("media_id", "frame_idx", "n_frames", "n_px",
                     F.round(F.col("mean") * SCALE).cast("bigint")
                     .alias("mean6"), "px_digest")
+
+
+# --------------------------------------------------- perceptual dedup
+def _ahash_golden_rows():
+    import json
+    import os
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "datapipe", "golden_ahash.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+_AHASH_VALUES = ",\n    ".join(
+    f"('{mid}', '{a}', '{keep}', CAST({n} AS BIGINT))"
+    for mid, a, keep, n in _ahash_golden_rows())
+
+@q("media_ahash_dedup", f"""
+  SELECT media_id, ahash, keeper, group_size
+  FROM (VALUES {_AHASH_VALUES})
+    AS t(media_id, ahash, keeper, group_size)
+""")
+def media_ahash_dedup(spark, sf_dir):
+    """Perceptual image dedup via average-hash: decode (PNG/GIF/JPEG)
+    → BT.601 luminance → 8×8 block-mean RESIZE → threshold-at-mean 64
+    bits, then exact-equality grouping on the hash key. Fixtures plant
+    perceptual triples — the same pattern as PNG, as GIF (lossless
+    cross-format), and brightness-shifted (+30, no clipping) — that
+    must land in one group each, beside unrelated JPEG singletons.
+    Oracle is a pinned golden-constant table (the media_jpeg pattern),
+    re-derived from the hasher by pytest. Registry + pytest + oracle
+    verified on demand; demoted from the driver window (see
+    __spark_entry__)."""
+    from pyspark.sql import Window
+    from ..datapipe.multimodal import extract_ahash, synthesize_phash_fixtures
+    rows = [(mid, bytearray(p))
+            for mid, p, _g in synthesize_phash_fixtures(12)]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    w = Window.partitionBy("ahash")
+    return (extract_ahash(media)
+            .withColumn("keeper", F.min("media_id").over(w))
+            .withColumn("group_size", F.count(F.lit(1)).over(w)
+                        .cast("bigint")))

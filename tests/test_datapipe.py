@@ -1158,3 +1158,48 @@ def test_novelty_planted(spark):
     assert got[2][1] == got[2][0] and got[2][2] == 1_000_000
     assert 0 < got[3][2] < 1_000_000                   # mixed doc
     assert got[4] == (1, 0, 0) and got[5] == (1, 0, 0)  # shared ''
+
+
+def test_ahash_invariances_and_golden_rederive(spark):
+    """aHash invariances hold by construction — the PNG, the lossless
+    GIF re-encode and the non-clipping brightness shift of one pattern
+    hash identically, unrelated patterns don't collide — and the
+    pinned media_ahash_dedup golden table equals a fresh hash of the
+    fixtures (stale golden_ahash.json fails here first)."""
+    import json
+    import os
+
+    from semlink.datapipe.multimodal import (decode_image_ahash,
+                                             synthesize_phash_fixtures)
+
+    fx = synthesize_phash_fixtures(12)
+    hs = {mid: decode_image_ahash(p) for mid, p, _g in fx}
+    assert all(a is not None for a in hs.values())
+    for g in range(12):
+        assert hs[f"ph{g}_png"] == hs[f"ph{g}_gif"] == hs[f"ph{g}_bright"]
+    assert len({hs[f"ph{g}_png"] for g in range(12)}) == 12
+    # golden re-derive
+    from collections import defaultdict
+    grp = defaultdict(list)
+    for mid, a in hs.items():
+        grp[a].append(mid)
+    fresh = {mid: [hs[mid], min(grp[hs[mid]]), len(grp[hs[mid]])]
+             for mid, _p, _g in fx}
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "semlink", "datapipe",
+        "golden_ahash.json")
+    golden = {r[0]: r[1:] for r in json.load(open(p))}
+    assert fresh == golden and len(golden) == 48
+
+
+def test_ahash_geometry_edges():
+    """Sub-8x8 and degenerate images still hash (floor-partitioned
+    cells clamp), garbage returns None."""
+    import numpy as np
+    from semlink.datapipe.multimodal import ahash64, decode_image_ahash
+    tiny = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    assert ahash64(tiny) is not None and len(ahash64(tiny)) == 16
+    one = np.zeros((1, 1, 3), dtype=np.uint8)
+    assert ahash64(one) == "0" * 16          # constant image: no bit set
+    assert decode_image_ahash(b"not an image") is None
+    assert decode_image_ahash(b"") is None
