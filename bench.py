@@ -55,7 +55,7 @@ HEADLINE = [
     "rl_pprl_bloom", "rl_soft_tfidf",
     "dedup_containment", "text_lm_perplexity", "sample_token_budget",
     "rl_pagerank_prior", "text_novelty", "media_video_frames",
-    "media_ahash_dedup",
+    "media_ahash_dedup", "rl_affine_gap",
 ]
 
 # headline entries that did not exist in the previous round's bench —
@@ -85,7 +85,7 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "dedup_containment", "text_lm_perplexity",
                "sample_token_budget", "rl_pagerank_prior",
                "text_novelty", "media_video_frames",
-               "media_ahash_dedup"]
+               "media_ahash_dedup", "rl_affine_gap"]
 
 
 def ensure_bench_fixture(spark) -> str:

@@ -21,6 +21,8 @@ SURVEY §7.3.2). Arrow moves the batches; Python never sees a row.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 
@@ -159,3 +161,135 @@ def _jw_chunk(a: pd.Series, b: pd.Series, max_len: int,
     jw = np.where(jaro > boost_threshold,
                   jaro + prefix_scale * ell * (1.0 - jaro), jaro)
     return jw
+
+
+# affine-gap scoring parameters (integers so every DP cell is exact):
+# match +2, mismatch -1, gap open -3, gap extend -1 — the classic
+# record-linkage setting (Bilenko-Mooney KDD'03 §3 uses this shape)
+AG_MATCH = 2
+AG_MISMATCH = 1
+AG_OPEN = 3
+AG_EXTEND = 1
+_NEG = -(1 << 30)
+
+
+def affine_gap_batch(a: pd.Series, b: pd.Series,
+                     max_len: int = DEFAULT_MAX_LEN) -> np.ndarray:
+    """Gotoh global alignment score with affine gaps (Gotoh '82) —
+    THE name comparator for truncation/insertion-style corruptions: a
+    single long gap costs open + (g-1)·extend, so "Smith" vs
+    "Smith, John" scores far better than under Levenshtein's linear
+    per-character penalty.
+
+    Batch-parallel numpy DP, one row sweep over the a-side: M and Ix
+    rows depend only on the previous row (fully vectorized over j and
+    the batch); the in-row Iy dependency has the affine closed form
+    Iy[i][j] = max_{k<j}(M[i][k] − open − extend·(j−1−k)), a running
+    maximum of M[i][k] + extend·k (np.maximum.accumulate) — no
+    per-cell Python. Integer parameters keep every cell exact.
+    Returns int64 raw scores; both-empty pairs score 0.
+    """
+    out = np.empty(len(a), dtype=np.int64)
+    for lo in range(0, len(a), CHUNK):
+        hi = min(lo + CHUNK, len(a))
+        out[lo:hi] = _ag_chunk(a.iloc[lo:hi], b.iloc[lo:hi], max_len)
+    return out
+
+
+def _ag_chunk(a: pd.Series, b: pd.Series, max_len: int) -> np.ndarray:
+    A, la = _encode(a, max_len)
+    B, lb = _encode(b, max_len)
+    n = len(la)
+    w = int(lb.max(initial=0)) + 1
+    jj = np.arange(w, dtype=np.int64)
+    # row 0: M[0][0]=0, Iy[0][j]=-(open+extend*(j-1)) for j>=1
+    m_prev = np.full((n, w), _NEG, dtype=np.int64)
+    m_prev[:, 0] = 0
+    ix_prev = np.full((n, w), _NEG, dtype=np.int64)
+    iy_prev = np.full((n, w), _NEG, dtype=np.int64)
+    if w > 1:
+        iy_prev[:, 1:] = -(AG_OPEN + AG_EXTEND * (jj[1:] - 1))
+    final = np.zeros(n, dtype=np.int64)
+    done = la == 0
+    best0 = np.maximum(m_prev, iy_prev)
+    final[done] = best0[done, lb[done]]
+    max_la = int(la.max(initial=0))
+    for i in range(1, max_la + 1):
+        prev3 = np.maximum(np.maximum(m_prev, ix_prev), iy_prev)
+        sub = np.where(B[:, :w - 1] == A[:, i - 1][:, None],
+                       AG_MATCH, -AG_MISMATCH).astype(np.int64)
+        m_cur = np.full((n, w), _NEG, dtype=np.int64)
+        m_cur[:, 1:] = prev3[:, :-1] + sub
+        ix_cur = np.maximum(m_prev - AG_OPEN, ix_prev - AG_EXTEND)
+        # Iy closed form: running max of M[i][k] + extend*k
+        t = np.maximum.accumulate(m_cur + AG_EXTEND * jj, axis=1)
+        iy_cur = np.full((n, w), _NEG, dtype=np.int64)
+        if w > 1:
+            iy_cur[:, 1:] = (t[:, :-1] - AG_OPEN
+                             - AG_EXTEND * (jj[1:] - 1))
+        # gaps spanning the start: Ix[i][0] opens from M[0][0]
+        ix_cur[:, 0] = np.maximum(ix_cur[:, 0],
+                                  -(AG_OPEN + AG_EXTEND * (i - 1)))
+        at = la == i
+        if at.any():
+            best = np.maximum(np.maximum(m_cur, ix_cur), iy_cur)
+            final[at] = best[at, lb[at]]
+        m_prev, ix_prev, iy_prev = m_cur, ix_cur, iy_cur
+    return final
+
+
+def affine_gap_sim6(a: pd.Series, b: pd.Series,
+                    max_len: int = DEFAULT_MAX_LEN) -> np.ndarray:
+    """Scaled-bigint normalized affine-gap similarity:
+    sim6 = round(1e6 · score / (AG_MATCH · max(la, lb))) clamped to
+    ≥ 0; two empty strings are identical (1e6). Normalization by the
+    longer side makes equal strings exactly 1e6 and keeps the score
+    comparable across lengths."""
+    score = affine_gap_batch(a, b, max_len)
+    la = a.fillna("").astype(str).str.slice(0, max_len).str.len().to_numpy()
+    lb = b.fillna("").astype(str).str.slice(0, max_len).str.len().to_numpy()
+    denom = AG_MATCH * np.maximum(np.maximum(la, lb), 1)
+    sim = np.round(score / denom * 1_000_000).astype(np.int64)
+    sim = np.maximum(sim, 0)
+    sim[(la == 0) & (lb == 0)] = 1_000_000
+    return sim
+
+
+def synthesize_alignment_pairs(n_groups: int = 50) -> list:
+    """Deterministic string pairs for the rl_affine_gap contract
+    entry (sf-independent, like the media fixtures): per group an
+    md5-derived base name and four comparison kinds —
+
+    - 'equal': the base itself (sim6 must be exactly 1e6);
+    - 'block': ONE contiguous md5-derived 6-char block inserted
+      mid-string (the corruption affine gaps are FOR — pays one gap
+      open + 5 extends);
+    - 'scatter': the SAME six characters inserted ONE AT A TIME at
+      spread positions (six gap opens) — same final length as
+      'block', so sim6(block) > sim6(scatter) in every group is a
+      structural invariant of affine gaps;
+    - 'unrelated': a different group's base shape.
+
+    Returns [(pair_id, kind, a, b), ...].
+    """
+    out = []
+    for g in range(n_groups):
+        hx = hashlib.md5(f"ag{g}".encode()).hexdigest()
+        base = "".join(chr(ord("a") + int(c, 16) % 26) for c in hx[:20])
+        blk = "".join(chr(ord("a") + int(c, 16) % 26) for c in hx[20:26])
+        cut = 4 + int(hx[26], 16) % 12
+        block = base[:cut] + blk + base[cut:]
+        sc = list(base)
+        for j in range(6):
+            # one insertion every ~3 surviving base chars, back to
+            # front so earlier offsets stay valid
+            pos = len(base) - 2 - 3 * j
+            sc.insert(pos, blk[j])
+        scatter = "".join(sc)
+        hx2 = hashlib.md5(f"ag{g}x".encode()).hexdigest()
+        other = "".join(chr(ord("a") + int(c, 16) % 26) for c in hx2[:20])
+        out.append((f"ag{g}_equal", "equal", base, base))
+        out.append((f"ag{g}_block", "block", base, block))
+        out.append((f"ag{g}_scatter", "scatter", base, scatter))
+        out.append((f"ag{g}_unrelated", "unrelated", base, other))
+    return out

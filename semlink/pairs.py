@@ -37,6 +37,16 @@ def levenshtein_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(levenshtein_batch(a, b).astype("float64"))
 
 
+@F.pandas_udf("struct<score: long, sim6: long>")
+def affine_gap_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """Gotoh affine-gap alignment (metrics_udf.affine_gap_batch): raw
+    integer score + scaled-bigint max-length-normalized similarity in
+    one Arrow pass."""
+    from .metrics_udf import affine_gap_batch, affine_gap_sim6
+    return pd.DataFrame({"score": affine_gap_batch(a, b),
+                         "sim6": affine_gap_sim6(a, b)})
+
+
 def monge_elkan(pairs: "DataFrame", a_col: str = "a", b_col: str = "b",
                 out_col: str = "me6") -> "DataFrame":
     """Directed Monge-Elkan similarity ME(a→b) = mean over a's token

@@ -382,3 +382,43 @@ def rl_soft_tfidf(spark, sf_dir):
     prs = (d1.join(d2, "_f1")
            .filter(F.col("a") < F.col("b")).select("a", "b"))
     return soft_tfidf(prs, docs, "a", "b", doc_col="doc")
+
+
+# ----------------------------------------------------- affine gap
+def _affine_golden_rows():
+    import json
+    import os
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "golden_affine.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+_AFFINE_VALUES = ",\n    ".join(
+    f"('{pid}', '{kind}', CAST({sc} AS BIGINT), CAST({s6} AS BIGINT))"
+    for pid, kind, sc, s6 in _affine_golden_rows())
+
+@q("rl_affine_gap", f"""
+  SELECT pair_id, kind, score, sim6
+  FROM (VALUES {_AFFINE_VALUES}) AS t(pair_id, kind, score, sim6)
+""")
+def rl_affine_gap(spark, sf_dir):
+    """Gotoh affine-gap alignment similarity (X18 — the truncation/
+    insertion comparator beside JW, Levenshtein, Monge-Elkan and
+    soft-TF-IDF; Gotoh '82, Bilenko-Mooney KDD'03): ONE Arrow kernel
+    pass returning raw score + max-length-normalized sim6 over
+    deterministic fixture pairs whose structural invariant — one
+    6-char block insertion outscores the same six characters inserted
+    at spread positions — holds in every group. Oracle is a pinned
+    golden-constant table (no affine-gap function exists in DuckDB),
+    re-derived by pytest against an independent quadratic-DP mirror.
+    Registry + pytest + oracle verified on demand; demoted from the
+    driver window (see __spark_entry__)."""
+    from ..metrics_udf import synthesize_alignment_pairs
+    from ..pairs import affine_gap_udf
+    rows = synthesize_alignment_pairs(50)
+    df = spark.createDataFrame(
+        rows, "pair_id string, kind string, a string, b string")
+    return (df.withColumn("_ag", affine_gap_udf(F.col("a"), F.col("b")))
+            .select("pair_id", "kind", F.col("_ag.score").alias("score"),
+                    F.col("_ag.sim6").alias("sim6")))

@@ -190,3 +190,85 @@ def test_soft_tfidf_zero_idf_doc_scores_zero(spark):
     assert got[("acme", "acme west")] == 0       # zero-norm doc
     # west/westt clear theta (JW ~0.96), both carry idf -> positive
     assert got[("acme west", "acme westt")] > 0
+
+
+def _ag_mirror(a, b):
+    """Independent quadratic Gotoh DP (plain Python, full 3-matrix
+    recurrence — no closed-form row scan) for pinning the vectorized
+    kernel."""
+    from semlink.metrics_udf import AG_EXTEND, AG_MATCH, AG_MISMATCH, AG_OPEN
+    NEG = -(1 << 30)
+    la, lb = len(a), len(b)
+    M = [[NEG] * (lb + 1) for _ in range(la + 1)]
+    Ix = [[NEG] * (lb + 1) for _ in range(la + 1)]
+    Iy = [[NEG] * (lb + 1) for _ in range(la + 1)]
+    M[0][0] = 0
+    for j in range(1, lb + 1):
+        Iy[0][j] = -(AG_OPEN + AG_EXTEND * (j - 1))
+    for i in range(1, la + 1):
+        Ix[i][0] = -(AG_OPEN + AG_EXTEND * (i - 1))
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            s = AG_MATCH if a[i - 1] == b[j - 1] else -AG_MISMATCH
+            M[i][j] = max(M[i - 1][j - 1], Ix[i - 1][j - 1],
+                          Iy[i - 1][j - 1]) + s
+            Ix[i][j] = max(M[i - 1][j] - AG_OPEN, Ix[i - 1][j] - AG_EXTEND)
+            Iy[i][j] = max(M[i][j - 1] - AG_OPEN, Iy[i][j - 1] - AG_EXTEND)
+    return max(M[la][lb], Ix[la][lb], Iy[la][lb])
+
+
+def test_affine_gap_matches_quadratic_mirror():
+    """The batch-vectorized Gotoh kernel (closed-form in-row gap scan)
+    equals the plain quadratic DP on hand cases, empties, and 400
+    pseudo-random pairs; sim6 invariants: equal strings are exactly
+    1e6, two empties 1e6, similarity never negative."""
+    import random
+
+    import pandas as pd
+
+    from semlink.metrics_udf import affine_gap_batch, affine_gap_sim6
+
+    pairs = [("", ""), ("abc", ""), ("", "xy"), ("smith", "smith"),
+             ("smith", "smith, john"), ("abcdefgh", "abXdefgh"),
+             ("aaaa", "bbbb"), ("ab", "ba")]
+    rng = random.Random(99)
+    for _ in range(400):
+        n1, n2 = rng.randint(0, 15), rng.randint(0, 15)
+        pairs.append(("".join(rng.choice("abcd") for _ in range(n1)),
+                      "".join(rng.choice("abcd") for _ in range(n2))))
+    A = pd.Series([p[0] for p in pairs])
+    B = pd.Series([p[1] for p in pairs])
+    got = affine_gap_batch(A, B)
+    for k, (a, b) in enumerate(pairs):
+        assert got[k] == _ag_mirror(a, b), (a, b, got[k])
+    s6 = affine_gap_sim6(A, B)
+    assert s6[0] == 1_000_000 and s6[3] == 1_000_000
+    assert (s6 >= 0).all()
+
+
+def test_affine_gap_golden_and_block_beats_scatter():
+    """The pinned rl_affine_gap golden table equals a fresh kernel run
+    over the fixtures (stale golden_affine.json fails here first), and
+    the structural invariant holds: one 6-char block insertion
+    outscores six scattered single-char insertions in EVERY group."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from semlink.metrics_udf import (affine_gap_batch, affine_gap_sim6,
+                                     synthesize_alignment_pairs)
+
+    fx = synthesize_alignment_pairs(50)
+    A = pd.Series([r[2] for r in fx])
+    B = pd.Series([r[3] for r in fx])
+    sc = affine_gap_batch(A, B)
+    s6 = affine_gap_sim6(A, B)
+    fresh = {r[0]: [r[1], int(sc[i]), int(s6[i])] for i, r in enumerate(fx)}
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "semlink", "golden_affine.json")
+    golden = {r[0]: r[1:] for r in json.load(open(p))}
+    assert fresh == golden and len(golden) == 200
+    for g in range(50):
+        assert fresh[f"ag{g}_block"][2] > fresh[f"ag{g}_scatter"][2]
+        assert fresh[f"ag{g}_equal"][2] == 1_000_000
