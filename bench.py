@@ -86,6 +86,9 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "sample_token_budget", "rl_pagerank_prior",
                "text_novelty", "media_video_frames",
                "media_ahash_dedup", "rl_affine_gap"]
+# dedup_cluster_stability is NOT benched: it is two runs of the same
+# checkpointed CC dedup_near_dup_clusters already times (~2x its
+# wall), pure redundancy per draw
 
 
 def ensure_bench_fixture(spark) -> str:

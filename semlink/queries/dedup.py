@@ -655,3 +655,82 @@ def dedup_containment(spark, sf_dir):
                           F.concat_ws(" ", "toks").alias("text"))
               .unionByName(snippets))
     return containment_dedup(corpus)
+
+
+_STAB_LOOSE = _CANOPY_T1   # >= 4 shared shingles: loose graph
+_STAB_STRICT = _CANOPY_T2  # >= 20 shared shingles: strict graph
+
+
+@q("dedup_cluster_stability", f"""
+  WITH RECURSIVE {_SHSIMS_SQL},
+  le AS (SELECT 'd' || lpad(CAST(id_l AS VARCHAR), 6, '0') AS src,
+                'd' || lpad(CAST(id_r AS VARCHAR), 6, '0') AS dst
+         FROM sims WHERE sim >= {_STAB_LOOSE}),
+  lsym AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le
+           UNION SELECT src, src FROM le UNION SELECT dst, dst FROM le),
+  lreach(a, b) AS (
+    SELECT src, dst FROM lsym
+    UNION
+    SELECT r.a, s.dst FROM lreach r JOIN lsym s ON r.b = s.src),
+  lcl AS (SELECT a AS id, min(b) AS loose_cluster FROM lreach GROUP BY a),
+  se AS (SELECT 'd' || lpad(CAST(id_l AS VARCHAR), 6, '0') AS src,
+                'd' || lpad(CAST(id_r AS VARCHAR), 6, '0') AS dst
+         FROM sims WHERE sim >= {_STAB_STRICT}),
+  ssym AS (SELECT src, dst FROM se UNION SELECT dst, src FROM se
+           UNION SELECT src, src FROM se UNION SELECT dst, dst FROM se),
+  sreach(a, b) AS (
+    SELECT src, dst FROM ssym
+    UNION
+    SELECT r.a, s.dst FROM sreach r JOIN ssym s ON r.b = s.src),
+  scl AS (SELECT a AS id, min(b) AS strict_cluster FROM sreach GROUP BY a)
+  SELECT l.loose_cluster, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT coalesce(s.strict_cluster, l.id)) AS BIGINT)
+           AS n_strict,
+         count(DISTINCT coalesce(s.strict_cluster, l.id)) > 1
+           AS is_overmerge
+  FROM lcl l LEFT JOIN scl s ON l.id = s.id
+  GROUP BY l.loose_cluster
+""")
+def dedup_cluster_stability(spark, sf_dir):
+    """Threshold-sweep cluster stability — the over-merge diagnostic:
+    the shingle-sim graph is CC-clustered at a loose AND a strict
+    threshold, and each loose cluster reports how many strict
+    sub-clusters it fissions into (n_strict > 1 = docs glued only by
+    weak/chained evidence — exactly what a curation pass reviews
+    before deleting "duplicates"). Both clusterings run through the
+    SAME checkpointed large/small-star CC; docs absent from the
+    strict graph stay their own strict singleton. The oracle
+    recomputes both transitive closures as recursive CTEs and must
+    match per-cluster counts exactly. Registry + pytest + oracle
+    verified on demand; demoted from the driver window (see
+    __spark_entry__)."""
+    import tempfile
+    from ..cluster import run_connected_components
+    from ..config import SemlinkConfig
+    _docs_df, sims = _sh_sims(spark, sf_dir)
+    ident = lambda c: F.concat(F.lit("d"),
+                               F.lpad(F.col(c).cast("string"), 6, "0"))
+
+    def cc(thr, tag):
+        edges = (sims.filter(F.col("sim") >= thr)
+                 .select(ident("id_l").alias("src"),
+                         ident("id_r").alias("dst")))
+        return run_connected_components(
+            edges, SemlinkConfig(),
+            ckpt_dir=tempfile.mkdtemp(prefix=f"semlink_stab_{tag}_"))
+
+    loose = cc(_STAB_LOOSE, "l").select(
+        F.col("mention_id").alias("id"),
+        F.col("cluster_id").alias("loose_cluster"))
+    strict = cc(_STAB_STRICT, "s").select(
+        F.col("mention_id").alias("id"),
+        F.col("cluster_id").alias("strict_cluster"))
+    j = (loose.join(strict, "id", "left")
+         .withColumn("strict_cluster",
+                     F.coalesce("strict_cluster", "id")))
+    return (j.groupBy("loose_cluster")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("strict_cluster").cast("bigint")
+                 .alias("n_strict"),
+                 (F.countDistinct("strict_cluster") > 1)
+                 .alias("is_overmerge")))

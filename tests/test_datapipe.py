@@ -1203,3 +1203,46 @@ def test_ahash_geometry_edges():
     assert ahash64(one) == "0" * 16          # constant image: no bit set
     assert decode_image_ahash(b"not an image") is None
     assert decode_image_ahash(b"") is None
+
+
+def test_cluster_stability_engineered_fission(spark):
+    """A loose cluster glued by a weak chain must fission at the
+    strict threshold: docs 0~1 share a long run (strict edge), doc 2
+    shares only a short prefix (loose-only edges), doc 3 is isolated
+    — so the loose cluster {0,1,2} reports n_strict=2 / overmerge,
+    and doc 3 appears nowhere."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from semlink.cluster import run_connected_components
+    from semlink.config import SemlinkConfig
+    from semlink.datapipe import dedup as dd
+
+    common = " ".join(f"w{i}" for i in range(24))
+    rows = [(0, common + " zero tail"),
+            (1, common + " one other end"),
+            (2, " ".join(f"w{i}" for i in range(8)) + " x y z q r s t u"),
+            (3, "totally unrelated text with its own tokens here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd.shingles_exploded(df).distinct()
+    sims = (sh.selectExpr("doc_id as id_l", "s")
+            .join(sh.selectExpr("doc_id as id_r", "s"), "s")
+            .filter("id_l < id_r").groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).alias("sim")))
+    ident = lambda c: F.concat(F.lit("d"), F.col(c).cast("string"))
+
+    def cc(thr):
+        e = (sims.filter(F.col("sim") >= thr)
+             .select(ident("id_l").alias("src"), ident("id_r").alias("dst")))
+        return run_connected_components(
+            e, SemlinkConfig(),
+            ckpt_dir=tempfile.mkdtemp(prefix="semlink_stab_t_"))
+
+    loose = {r.mention_id: r.cluster_id for r in cc(4).collect()}
+    strict = {r.mention_id: r.cluster_id for r in cc(20).collect()}
+    assert set(loose) == {"d0", "d1", "d2"}
+    assert len(set(loose.values())) == 1
+    assert set(strict) == {"d0", "d1"}
+    sub = {strict.get(d, d) for d in loose}
+    assert len(sub) == 2  # {0,1} + the 2-singleton: the fission report
