@@ -439,3 +439,44 @@ def containment_dedup(df: DataFrame, id_col: str = "doc_id",
             .groupBy("contained_id")
             .agg(F.min("cid").alias("container_id"),
                  F.count(F.lit(1)).alias("n_containers")))
+
+
+def weighted_jaccard(df: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    """MULTISET (occurrence-weighted) Jaccard for candidate pairs:
+    Σ_s min(c_l, c_r) / Σ_s max(c_l, c_r) over per-document shingle
+    OCCURRENCE counts — the bag-semantics verify that distinguishes "a
+    phrase once" from "the same phrase fifty times" (set Jaccard
+    treats a boilerplate-spam doc and a normal doc with one shared
+    line identically; weighted Jaccard scores the spam pair by its
+    repeated mass).
+
+    Exact integer sufficient statistics: Σ max = w_l + w_r − Σ min
+    (shingles on one side only contribute their full count to Σ max
+    and 0 to Σ min), so only Σ min needs the pair join — one equi
+    join on (doc, shingle) counts, the ngram_jaccard shape with a
+    groupBy-count instead of distinct.
+    """
+    occ = (shingles_exploded(df, id_col, text_col, n)
+           .groupBy(id_col, "s")
+           .agg(F.count(F.lit(1)).alias("c")))
+    tot = occ.groupBy(id_col).agg(F.sum("c").cast("bigint").alias("w"))
+    lo = occ.select(F.col(id_col).alias("left_id"), "s",
+                    F.col("c").alias("c_l"))
+    ro = occ.select(F.col(id_col).alias("right_id"), "s",
+                    F.col("c").alias("c_r"))
+    wmin = (pairs.join(lo, "left_id").join(ro, ["right_id", "s"])
+            .groupBy("left_id", "right_id")
+            .agg(F.sum(F.least("c_l", "c_r")).cast("bigint")
+                 .alias("wmin")))
+    return (wmin
+            .join(tot.withColumnRenamed(id_col, "left_id")
+                  .withColumnRenamed("w", "w_l"), "left_id")
+            .join(tot.withColumnRenamed(id_col, "right_id")
+                  .withColumnRenamed("w", "w_r"), "right_id")
+            .withColumn("wjac6",
+                        F.round(F.col("wmin").cast("double")
+                                / (F.col("w_l") + F.col("w_r")
+                                   - F.col("wmin")) * 1_000_000)
+                        .cast("bigint")))

@@ -734,3 +734,59 @@ def dedup_cluster_stability(spark, sf_dir):
                  .alias("n_strict"),
                  (F.countDistinct("strict_cluster") > 1)
                  .alias("is_overmerge")))
+
+
+_SHINGLE_ALL_SQL = """
+  SELECT doc_id, unnest(
+           CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i : i + 2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(coalesce(text,
+                                    '')), ' +'), x -> x <> '') AS toks
+        FROM documents)
+"""
+
+_LSH_PAIRS_BODY = f"""
+  b AS ({_BUCKET_SQL}),
+  sized AS (SELECT band, bucket FROM b GROUP BY band, bucket
+            HAVING count(*) <= 64),
+  cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+           FROM (SELECT b.* FROM b JOIN sized USING (band, bucket)) l
+           JOIN (SELECT b.* FROM b JOIN sized USING (band, bucket)) r
+             ON l.band = r.band AND l.bucket = r.bucket
+            AND l.doc_id < r.doc_id)
+"""
+
+
+@q("dedup_weighted_jaccard", f"""
+  WITH {_LSH_PAIRS_BODY},
+  occ AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c
+          FROM ({_SHINGLE_ALL_SQL}) GROUP BY doc_id, s),
+  tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS w
+          FROM occ GROUP BY doc_id),
+  wm AS (SELECT cand.left_id, cand.right_id,
+                CAST(sum(least(l.c, r.c)) AS BIGINT) AS wmin
+         FROM cand
+         JOIN occ l ON l.doc_id = cand.left_id
+         JOIN occ r ON r.doc_id = cand.right_id AND r.s = l.s
+         GROUP BY cand.left_id, cand.right_id)
+  SELECT wm.left_id, wm.right_id, wm.wmin,
+         tl.w AS w_l, tr.w AS w_r,
+         CAST(ROUND(CAST(wm.wmin AS DOUBLE)
+                    / (tl.w + tr.w - wm.wmin) * 1000000) AS BIGINT)
+           AS wjac6
+  FROM wm JOIN tot tl ON tl.doc_id = wm.left_id
+  JOIN tot tr ON tr.doc_id = wm.right_id
+""")
+def dedup_weighted_jaccard(spark, sf_dir):
+    """Multiset-Jaccard verify (dd.weighted_jaccard) on the LSH
+    candidate pairs — bag semantics over shingle occurrence counts,
+    Σmax derived as w_l + w_r − Σmin so only Σmin joins. Registry +
+    pytest + oracle verified on demand; demoted from the driver
+    window (see __spark_entry__)."""
+    d = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(d)
+    pairs = dd.lsh_candidate_pairs(dd.lsh_buckets(sigs))
+    return dd.weighted_jaccard(d, pairs).select(
+        "left_id", "right_id", "wmin", "w_l", "w_r", "wjac6")

@@ -1246,3 +1246,33 @@ def test_cluster_stability_engineered_fission(spark):
     assert set(strict) == {"d0", "d1"}
     sub = {strict.get(d, d) for d in loose}
     assert len(sub) == 2  # {0,1} + the 2-singleton: the fission report
+
+
+def test_weighted_jaccard_bag_semantics(spark):
+    """Multiset Jaccard distinguishes repeated mass where set Jaccard
+    cannot: a doc repeating the shared phrase 5x scores higher
+    weighted overlap against its spam twin than the once-each pair,
+    and the hand-computed Σmin/Σmax rationals match exactly."""
+    from pyspark.sql import functions as F
+    from semlink.datapipe.dedup import shingle_set, weighted_jaccard
+    phrase = "lorem ipsum dolor sit"
+    rows = [(0, phrase), (1, phrase),
+            (2, " ".join([phrase] * 5)), (3, " ".join([phrase] * 5))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (2, 3), (0, 2)],
+                                  "left_id long, right_id long")
+    got = {(r.left_id, r.right_id): (r.wmin, r.w_l, r.w_r, r.wjac6)
+           for r in weighted_jaccard(df, pairs).collect()}
+    # doc0: shingles of 4 tokens = 2 windows; doc2: 20 tokens = 18
+    assert got[(0, 1)] == (2, 2, 2, 1_000_000)
+    assert got[(2, 3)] == (18, 18, 18, 1_000_000)
+    wmin, w_l, w_r, wj = got[(0, 2)]
+    assert (w_l, w_r) == (2, 18)
+    assert wmin == 2 and wj == round(2 / 18 * 1e6)
+    # set Jaccard would call (0,2) much more similar: distinct sets
+    s0 = set(df.select(shingle_set(F.col("text")).alias("x"))
+             .collect()[0].x)
+    s2 = set(df.select(shingle_set(F.col("text")).alias("x"))
+             .collect()[2].x)
+    set_j = len(s0 & s2) / len(s0 | s2)
+    assert wj / 1e6 < set_j  # bag semantics penalizes the spam mass
