@@ -550,3 +550,64 @@ def text_novelty(spark, sf_dir):
     + oracle verified on demand; demoted from the driver window (see
     __spark_entry__)."""
     return ts.with_novelty(_docs(spark, sf_dir))
+
+
+_Q6_BODY = f"""
+  SELECT doc_id, lang, source, text,
+         CAST(len(toks) AS BIGINT) AS ws_tokens,
+         CAST(ROUND((
+           0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                  AS DOUBLE) / length(text) ELSE 0.0 END)
+         + 0.3 * least(({_STOPR_SQL}) * 3.0, 1.0)
+         ) * {SCALE}) AS BIGINT) AS q6
+  FROM (SELECT doc_id, lang, source, text,
+               list_filter(string_split_regex(trim(text), ' +'),
+                           x -> x <> '') AS toks
+        FROM documents)
+"""
+
+
+@q("ops_corpus_report", f"""
+  WITH q AS ({_Q6_BODY}),
+  dup AS (SELECT md5(coalesce(text, '')) AS h, count(*) AS c
+          FROM documents GROUP BY 1)
+  SELECT q.lang, q.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(q.ws_tokens) AS BIGINT) AS tokens,
+         CAST(CAST(sum(q.q6) AS BIGINT) // CAST(count(*) AS BIGINT)
+              AS BIGINT) AS mean_q6,
+         CAST(sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_docs,
+         CAST((CAST(sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1000000)
+              // CAST(count(*) AS BIGINT) AS BIGINT) AS dup_rate6
+  FROM q JOIN dup ON dup.h = md5(coalesce(q.text, ''))
+  GROUP BY q.lang, q.source
+""")
+def ops_corpus_report(spark, sf_dir):
+    """Per-(lang, source) corpus report card — the rollup a curation
+    run publishes: doc/token counts, mean quality (per-doc scaled
+    bigints first, THEN integer mean — no cross-engine float-sum
+    order), and the exact-duplicate rate via the corpus-wide text
+    digest. One digest groupBy + one report groupBy. Registry +
+    pytest + oracle verified on demand; demoted from the driver
+    window (see __spark_entry__)."""
+    d = _docs(spark, sf_dir).drop("n_chars")
+    q = ts.with_quality_score(d).withColumn("q6", _r6(F.col("quality_score")))
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    dup = (d.groupBy(h.alias("h"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    return (q.withColumn("h", h)
+            .join(dup, "h")
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("ws_tokens").cast("bigint").alias("tokens"),
+                 F.expr("CAST(sum(q6) AS BIGINT) div count(*)")
+                 .cast("bigint").alias("mean_q6"),
+                 F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("dup_docs"),
+                 F.expr("CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)"
+                        " AS BIGINT) * 1000000 div count(*)")
+                 .cast("bigint").alias("dup_rate6")))

@@ -1276,3 +1276,40 @@ def test_weighted_jaccard_bag_semantics(spark):
              .collect()[2].x)
     set_j = len(s0 & s2) / len(s0 | s2)
     assert wj / 1e6 < set_j  # bag semantics penalizes the spam mass
+
+
+def test_corpus_report_rollup(spark):
+    """Per-(lang, source) report card: exact duplicate docs counted
+    corpus-wide (the twin pair lands in dup_docs for ITS group only),
+    token sums and integer dup rates exact, mean quality in range."""
+    from pyspark.sql import functions as F
+    from semlink.datapipe import textstats as ts
+    rows = [(0, "the quick brown fox jumps", "en", "s1"),
+            (1, "the quick brown fox jumps", "en", "s1"),   # twin of 0
+            (2, "one two three", "en", "s2"),
+            (3, "uno dos tres cuatro", "es", "s1")]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    q = (ts.with_quality_score(d)
+         .withColumn("q6", F.round(F.col("quality_score") * 1_000_000)
+                     .cast("bigint")))
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    dup = d.groupBy(h.alias("h")).agg(F.count(F.lit(1)).alias("c"))
+    rep = {(r.lang, r.source): r for r in
+           (q.withColumn("h", h).join(dup, "h")
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("ws_tokens").cast("bigint").alias("tokens"),
+                 F.expr("CAST(sum(q6) AS BIGINT) div count(*)")
+                 .alias("mean_q6"),
+                 F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("dup_docs"),
+                 F.expr("CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)"
+                        " AS BIGINT) * 1000000 div count(*)")
+                 .alias("dup_rate6"))).collect()}
+    en1 = rep[("en", "s1")]
+    assert (en1.n_docs, en1.tokens, en1.dup_docs, en1.dup_rate6) == \
+        (2, 10, 2, 1_000_000)
+    assert rep[("en", "s2")].dup_docs == 0
+    assert rep[("es", "s1")].n_docs == 1
+    assert all(0 <= r.mean_q6 <= 1_000_000 for r in rep.values())
