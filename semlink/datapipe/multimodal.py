@@ -1202,9 +1202,13 @@ def synthesize_phash_fixtures(n_groups: int = 12) -> list:
     luminance pattern (values 20..179, so a +30 brightness shift never
     clips) rendered three ways that must aHash identically — the PNG,
     the same pixels as a GIF (lossless cross-format), and the PNG
-    brightened by +30 (shift invariance) — plus one unrelated JPEG
-    singleton per group. Returns [(media_id, payload, group_id), ...]
-    with group_id = -1 for singletons.
+    brightened by +30 (shift invariance) — plus a 'tweak'
+    NEAR-duplicate (center region of the unshifted base raised by
+    +60, never clipping since base ≤ 179) whose hash differs by a
+    small hamming distance (measured 5-13 bits; cross-group ≥ 20),
+    and one unrelated JPEG singleton per group.
+    Returns [(media_id, payload, group_id), ...] with group_id = -1
+    for singletons.
     """
     from .jpegenc import encode_baseline_jpeg
     out = []
@@ -1217,6 +1221,9 @@ def synthesize_phash_fixtures(n_groups: int = 12) -> list:
         out.append((f"ph{g}_png", _encode_gray_png(base), g))
         out.append((f"ph{g}_gif", _encode_gray_gif(base), g))
         out.append((f"ph{g}_bright", _encode_gray_png(base + 30), g))
+        tweak = base.copy()
+        tweak[h * 3 // 8:h * 5 // 8, w * 3 // 8:w * 5 // 8] += 60
+        out.append((f"ph{g}_tweak", _encode_gray_png(tweak), g))
         jimg = (rs.randint(0, 256, size=(h, w))).astype(np.uint8)
         out.append((f"ph{g}_jpeg", encode_baseline_jpeg(jimg), -1))
     return out

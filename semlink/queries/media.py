@@ -235,3 +235,65 @@ def media_ahash_dedup(spark, sf_dir):
             .withColumn("keeper", F.min("media_id").over(w))
             .withColumn("group_size", F.count(F.lit(1)).over(w)
                         .cast("bigint")))
+
+
+_HAM_K = 15   # 16 nibble bands guarantee recall at hamming <= 15
+
+_AHASH_ID_VALUES = ",\n    ".join(
+    f"('{mid}', '{a}')" for mid, a, _k, _n in _ahash_golden_rows())
+
+
+def _ham_sql(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"bit_count(xor(instr('0123456789abcdef', substr({a}, {i}, 1)) - 1,"
+        f" instr('0123456789abcdef', substr({b}, {i}, 1)) - 1))"
+        for i in range(1, 17))
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+@q("media_ahash_near_pairs", f"""
+  WITH a AS (SELECT media_id, ahash
+             FROM (VALUES {_AHASH_ID_VALUES}) t(media_id, ahash)),
+  p AS (SELECT l.media_id AS left_id, l.ahash AS a_l,
+               r.media_id AS right_id, r.ahash AS a_r
+        FROM a l JOIN a r ON l.media_id < r.media_id)
+  SELECT left_id, right_id, {_ham_sql('a_l', 'a_r')} AS hamming
+  FROM p WHERE {_ham_sql('a_l', 'a_r')} <= {_HAM_K}
+""")
+def media_ahash_near_pairs(spark, sf_dir):
+    """Perceptual NEAR-duplicate pairs — the scale path past exact
+    hash equality: the 64-bit aHash splits into 16 nibble bands
+    (pigeonhole: any pair at hamming <= 15 shares at least one
+    identical nibble at the same position, so the band equi join has
+    NO false negatives at this radius — the SimHash-banding argument
+    with a proven bound), candidates verified by an exact 16-term
+    nibble-XOR popcount. The oracle brute-forces ALL pairs over the
+    pinned hash table with the same integer hamming expression, so
+    the banded plan must reproduce the quadratic answer exactly
+    (fixtures plant hamming-5..13 tweak variants; cross-group
+    distances measured >= 20). Registry + pytest + oracle verified on
+    demand; demoted from the driver window (see __spark_entry__)."""
+    from ..datapipe.multimodal import extract_ahash, synthesize_phash_fixtures
+    rows = [(mid, bytearray(p))
+            for mid, p, _g in synthesize_phash_fixtures(12)]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    ah = extract_ahash(media).filter(F.col("ahash").isNotNull())
+    bands = ah.select(
+        "media_id", "ahash",
+        F.posexplode(F.expr("split(ahash, '(?!$)')")).alias("p", "ch"))
+    lft = bands.select(F.col("media_id").alias("left_id"),
+                       F.col("ahash").alias("a_l"), "p", "ch")
+    rgt = bands.select(F.col("media_id").alias("right_id"),
+                       F.col("ahash").alias("a_r"), "p", "ch")
+    cand = (lft.join(rgt, ["p", "ch"])
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id", "a_l", "a_r").distinct())
+    ham = None
+    for i in range(1, 17):
+        nib_l = F.expr(f"instr('0123456789abcdef', substring(a_l, {i}, 1)) - 1")
+        nib_r = F.expr(f"instr('0123456789abcdef', substring(a_r, {i}, 1)) - 1")
+        t = F.bit_count(nib_l.bitwiseXOR(nib_r))
+        ham = t if ham is None else ham + t
+    return (cand.withColumn("hamming", ham.cast("bigint"))
+            .filter(F.col("hamming") <= _HAM_K)
+            .select("left_id", "right_id", "hamming"))

@@ -1175,9 +1175,21 @@ def test_ahash_invariances_and_golden_rederive(spark):
     fx = synthesize_phash_fixtures(12)
     hs = {mid: decode_image_ahash(p) for mid, p, _g in fx}
     assert all(a is not None for a in hs.values())
+
+    def ham(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
     for g in range(12):
         assert hs[f"ph{g}_png"] == hs[f"ph{g}_gif"] == hs[f"ph{g}_bright"]
+        # the tweak is a NEAR dup: different hash, within the banded
+        # radius media_ahash_near_pairs guarantees recall for
+        d = ham(hs[f"ph{g}_png"], hs[f"ph{g}_tweak"])
+        assert 0 < d <= 15, (g, d)
     assert len({hs[f"ph{g}_png"] for g in range(12)}) == 12
+    # cross-group distances stay far outside the near radius
+    for g1 in range(12):
+        for g2 in range(g1 + 1, 12):
+            assert ham(hs[f"ph{g1}_png"], hs[f"ph{g2}_png"]) > 15
     # golden re-derive
     from collections import defaultdict
     grp = defaultdict(list)
@@ -1189,7 +1201,7 @@ def test_ahash_invariances_and_golden_rederive(spark):
         os.path.abspath(__file__))), "semlink", "datapipe",
         "golden_ahash.json")
     golden = {r[0]: r[1:] for r in json.load(open(p))}
-    assert fresh == golden and len(golden) == 48
+    assert fresh == golden and len(golden) == 60
 
 
 def test_ahash_geometry_edges():
