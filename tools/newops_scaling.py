@@ -27,6 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.1"
 DOCS = "/tmp/semlink_newops_docs"
 EDGES = "/tmp/semlink_newops_edges"
+EDGES_BIG = "/tmp/semlink_newops_edges_big"
 GIFS = "/tmp/semlink_newops_gifs"
 PHASH = "/tmp/semlink_newops_phash"
 
@@ -66,6 +67,11 @@ elif kernel == "pagerank":
     e = spark.read.parquet(%(edges)r)
     t0 = time.time()
     n = pagerank(e).count()
+elif kernel == "pagerank_big":
+    from semlink.graphrank import pagerank
+    e = spark.read.parquet(%(edges_big)r)
+    t0 = time.time()
+    n = pagerank(e).count()
 elif kernel == "frames":
     from semlink.datapipe.multimodal import extract_frame_stats
     df = spark.read.parquet(%(gifs)r)
@@ -101,6 +107,15 @@ def gen() -> None:
         (l.select((F.col("l_orderkey") % 20000).alias("src_id"),
                   (F.col("l_partkey") % 20000).alias("dst_id"))
          .repartition(32).write.mode("overwrite").parquet(EDGES))
+    if not os.path.exists(EDGES_BIG):
+        # 10M-edge Knuth-multiplicative graph over 1M nodes: the small
+        # lineitem graph (250k distinct edges) is task-overhead
+        # dominated and ANTI-scales; this is the size where the
+        # superstep joins carry real work per task
+        (spark.range(10_000_000)
+         .select((F.col("id") % 1_000_000).alias("src_id"),
+                 ((F.col("id") * 2654435761) % 1_000_000).alias("dst_id"))
+         .repartition(32).write.mode("overwrite").parquet(EDGES_BIG))
     from semlink.datapipe.multimodal import (synthesize_animation_fixtures,
                                              synthesize_phash_fixtures)
     if not os.path.exists(GIFS):
@@ -125,7 +140,7 @@ def run_cell(kernel: str, cpus: int, draws: int) -> list[float]:
         r = subprocess.run(
             [sys.executable, "-c", CHILD % {
                 "repo": REPO, "docs": DOCS, "edges": EDGES,
-                "gifs": GIFS, "phash": PHASH},
+                "edges_big": EDGES_BIG, "gifs": GIFS, "phash": PHASH},
              kernel, str(cpus)],
             capture_output=True, text=True, check=True, env=env)
         line = [ln for ln in r.stdout.splitlines()
