@@ -21,7 +21,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType)
 
 from .config import DEFAULT, SemlinkConfig
 from .metrics_udf import jaro_winkler_batch, levenshtein_batch
@@ -37,7 +38,14 @@ def levenshtein_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(levenshtein_batch(a, b).astype("float64"))
 
 
-@F.pandas_udf("struct<score: long, sim6: long>")
+# return type built as objects, NOT a DDL string: string types are
+# parsed through the active SparkContext at decoration (= import)
+# time, which would make importing this module require a live session
+_AG_TYPE = StructType([StructField("score", LongType()),
+                       StructField("sim6", LongType())])
+
+
+@F.pandas_udf(_AG_TYPE)
 def affine_gap_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     """Gotoh affine-gap alignment (metrics_udf.affine_gap_batch): raw
     integer score + scaled-bigint max-length-normalized similarity in
