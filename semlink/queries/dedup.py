@@ -790,3 +790,142 @@ def dedup_weighted_jaccard(spark, sf_dir):
     pairs = dd.lsh_candidate_pairs(dd.lsh_buckets(sigs))
     return dd.weighted_jaccard(d, pairs).select(
         "left_id", "right_id", "wmin", "w_l", "w_r", "wjac6")
+
+
+_VERDICT_T = _CANOPY_T2   # near-dup edge: >= 20 shared distinct shingles
+
+# corpus/nd/containment head shared verbatim with _CONTAIN_SQL
+_VERDICT_HEAD = """
+  tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                       x -> x <> '') AS toks
+    FROM documents),
+  corpus AS (
+    SELECT doc_id, array_to_string(toks, ' ') AS norm, len(toks) AS tc
+    FROM tok
+    UNION ALL
+    SELECT doc_id + 1000000, array_to_string(toks[4:11], ' '), 8
+    FROM tok WHERE doc_id % 9 = 0 AND len(toks) >= 12
+    UNION ALL
+    SELECT doc_id + 2000000, array_to_string(toks, ' '), len(toks)
+    FROM tok WHERE doc_id % 13 = 0),
+  nd AS (SELECT norm, min(doc_id) AS rep, min(tc) AS tc
+         FROM corpus GROUP BY norm),
+  cont AS (
+    SELECT DISTINCT a.rep AS rep
+    FROM nd a JOIN nd b
+      ON a.norm <> b.norm
+     AND position((' ' || a.norm || ' ') IN (' ' || b.norm || ' ')) > 0
+    WHERE a.tc >= 3),
+  ndt AS (SELECT rep, tc,
+                 CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(norm, ' ') END AS toks
+          FROM nd),
+  shx AS (SELECT rep, unnest(list_distinct(
+            CASE WHEN tc >= 3 THEN
+              list_transform(generate_series(1, tc - 2),
+                             i -> array_to_string(toks[i : i + 2], ' '))
+            ELSE [array_to_string(toks, ' ')] END)) AS s
+          FROM ndt),
+"""
+
+
+@q("dedup_verdict", f"""
+  WITH RECURSIVE {_VERDICT_HEAD}
+  sims AS MATERIALIZED (
+    SELECT a.rep AS id_l, b.rep AS id_r
+    FROM shx a JOIN shx b ON a.s = b.s AND a.rep < b.rep
+    GROUP BY 1, 2 HAVING count(*) >= {_VERDICT_T}),
+  e AS (SELECT 'd' || lpad(CAST(id_l AS VARCHAR), 8, '0') AS src,
+               'd' || lpad(CAST(id_r AS VARCHAR), 8, '0') AS dst
+        FROM sims),
+  sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e
+          UNION SELECT src, src FROM e UNION SELECT dst, dst FROM e),
+  reach(a, b) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+  scl AS (SELECT a AS id, min(b) AS cl FROM reach GROUP BY a)
+  SELECT doc_id, reason, reason = 'keep' AS keep FROM (
+    SELECT c.doc_id,
+           CASE WHEN c.doc_id <> nd.rep THEN 'exact_dup'
+                WHEN cont.rep IS NOT NULL THEN 'contained'
+                WHEN scl.cl IS NOT NULL
+                     AND scl.cl <> 'd' || lpad(CAST(nd.rep AS VARCHAR),
+                                               8, '0')
+                  THEN 'near_dup'
+                ELSE 'keep' END AS reason
+    FROM corpus c JOIN nd USING (norm)
+    LEFT JOIN cont ON cont.rep = nd.rep
+    LEFT JOIN scl
+      ON scl.id = 'd' || lpad(CAST(nd.rep AS VARCHAR), 8, '0'))
+""")
+def dedup_verdict(spark, sf_dir):
+    """The composed curation DECISION SURFACE: per document, keep or
+    drop with the priority reason a pipeline audit wants —
+    'exact_dup' (not its normalized-text group's min-id keeper) >
+    'contained' (token-substring of a surviving superset, C24) >
+    'near_dup' (non-minimum member of a strict shingle-graph CC
+    cluster) > 'keep'. One exact-dup groupBy, the rarest-shingle
+    containment probe, and the SAME checkpointed large/small-star CC;
+    the oracle recomputes all three stages (containment brute-forced,
+    CC as a recursive CTE) in one statement, so the composition is
+    hash-gated end-to-end like dedup_near_dup_clusters. Runs over the
+    planted corpus (snippet docs for 'contained', exact copies —
+    every 13th doc at +2000000 — for 'exact_dup') so every reason
+    occurs. Registry + pytest
+    + oracle verified on demand; demoted from the driver window (see
+    __spark_entry__)."""
+    import tempfile
+    from ..cluster import run_connected_components
+    from ..config import SemlinkConfig
+    from ..datapipe.dedup import _tokens, containment_dedup
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    base0 = d.select("doc_id", toks.alias("toks"))
+    snippets = (base0
+                .filter((F.col("doc_id") % 9 == 0) & (F.size("toks") >= 12))
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.concat_ws(" ", F.slice("toks", 4, 8))
+                        .alias("text")))
+    copies = (base0.filter(F.col("doc_id") % 13 == 0)
+              .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                      F.concat_ws(" ", "toks").alias("text")))
+    corpus = (base0.select("doc_id",
+                           F.concat_ws(" ", "toks").alias("text"))
+              .unionByName(snippets).unionByName(copies))
+    norm = F.concat_ws(" ", _tokens(F.coalesce(F.col("text"), F.lit(""))))
+    base = corpus.select("doc_id", norm.alias("norm"))
+    nd = base.groupBy("norm").agg(F.min("doc_id").alias("rep"))
+    cont = (containment_dedup(corpus)
+            .select(F.col("contained_id").alias("rep"))
+            .withColumn("_contained", F.lit(True)))
+    sh = dd.shingles_exploded(
+        nd.select(F.col("rep").alias("_id"), F.col("norm")),
+        "_id", "norm").distinct()
+    sims = (sh.selectExpr("_id as id_l", "s")
+            .join(sh.selectExpr("_id as id_r", "s"), "s")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).alias("sim"))
+            .filter(F.col("sim") >= _VERDICT_T))
+    ident8 = lambda c: F.concat(F.lit("d"),
+                                F.lpad(F.col(c).cast("string"), 8, "0"))
+    edges = sims.select(ident8("id_l").alias("src"),
+                        ident8("id_r").alias("dst"))
+    cc = run_connected_components(
+        edges, SemlinkConfig(),
+        ckpt_dir=tempfile.mkdtemp(prefix="semlink_verdict_cc_"))
+    j = (base.join(nd, "norm")
+         .join(cont, "rep", "left")
+         .join(cc.select(F.col("mention_id").alias("_ccid"),
+                         F.col("cluster_id")),
+               ident8("rep") == F.col("_ccid"), "left"))
+    reason = (F.when(F.col("doc_id") != F.col("rep"), "exact_dup")
+              .when(F.col("_contained"), "contained")
+              .when(F.col("cluster_id").isNotNull()
+                    & (F.col("cluster_id") != ident8("rep")), "near_dup")
+              .otherwise("keep"))
+    return (j.select("doc_id", reason.alias("reason"))
+            .withColumn("keep", F.col("reason") == "keep"))

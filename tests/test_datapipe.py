@@ -1325,3 +1325,43 @@ def test_corpus_report_rollup(spark):
     assert rep[("en", "s2")].dup_docs == 0
     assert rep[("es", "s1")].n_docs == 1
     assert all(0 <= r.mean_q6 <= 1_000_000 for r in rep.values())
+
+
+def test_dedup_verdict_reason_priority(spark):
+    """The composed verdict applies reasons in priority order on an
+    engineered corpus: an exact copy is 'exact_dup' even though its
+    text is also contained elsewhere; a contained rep that is also a
+    strict near-dup reports 'contained'; group keepers keep."""
+    from semlink.queries import REGISTRY
+    import duckdb
+    # drive the REGISTRY entry end-to-end on a tiny planted documents
+    # table through both engines (the sf-shaped corpus derivation
+    # needs doc_id % 9 / % 13 hits, so feed ids that trigger each)
+    long_txt = " ".join(f"t{i}" for i in range(30))
+    rows = [(0, long_txt, "en", "s", 1),          # %9==0: spawns snippet
+            (13, " ".join(f"u{i}" for i in range(25)), "en", "s", 1),
+            (26, " ".join(f"u{i}" for i in range(25)) + " tail x y",
+             "en", "s", 1)]                        # near-dup of 13
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    import tempfile
+    d = tempfile.mkdtemp(prefix="semlink_verdict_fix_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: (r.reason, r.keep)
+           for r in REGISTRY["dedup_verdict"][0](spark, d).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    want = {r[0]: (r[1], r[2])
+            for r in con.execute(REGISTRY["dedup_verdict"][1]).fetchall()}
+    assert got == want
+    assert got[1000000] == ("contained", False)   # snippet of doc 0
+    assert got[2000013][0] == "exact_dup"         # copy of doc 13
+    assert got[2000026][0] == "exact_dup"
+    # 13's text is a prefix run of 26's: contained — and priority
+    # means 'contained' wins even though 13 is ALSO the min of the
+    # strict near-dup cluster {13, 26}
+    assert got[13] == ("contained", False)
+    assert got[26] == ("near_dup", False)         # cluster non-min
+    assert got[0] == ("keep", True)
