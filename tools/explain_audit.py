@@ -335,6 +335,30 @@ def main():
                    "Exchange SinglePartition" not in p21
                    and "hashpartitioning(lang" in p21))
 
+    # 22. aHash near-pairs: the nibble-band candidate join is a hash
+    # equi join (never cartesian); decode runs as MapInPandas (Arrow),
+    # the hamming verify is pure JVM expression
+    from semlink.queries.media import media_ahash_near_pairs
+    p22 = formatted(media_ahash_near_pairs(spark, sf))
+    sections["aHash near pairs (C25 scale path)"] = p22
+    checks.append(("ahash near-pairs: equi band join, Arrow decode, "
+                   "JVM hamming",
+                   "CartesianProduct" not in p22
+                   and "BatchEvalPython" not in p22
+                   and "BroadcastNestedLoopJoin" not in p22
+                   and _nodes(p22, "MapInPandas") >= 1))
+
+    # 23. composed dedup verdict: every stage join is equi; no Python
+    # anywhere (pure relational composition + checkpointed CC scan)
+    from semlink.queries.dedup import dedup_verdict
+    p23 = formatted(dedup_verdict(spark, sf))
+    sections["dedup verdict (composed)"] = p23
+    checks.append(("dedup verdict: equi-only joins, no python eval",
+                   "CartesianProduct" not in p23
+                   and "BatchEvalPython" not in p23
+                   and "ArrowEvalPython" not in p23
+                   and "BroadcastNestedLoopJoin" not in p23))
+
     out = ["# PLANS — physical plan audit\n",
            "Generated by tools/explain_audit.py. Checks:\n"]
     ok = True
