@@ -137,6 +137,74 @@ def lang_profile_table(spark) -> DataFrame:
     return spark.createDataFrame(rows, "tok string, lang string")
 
 
+def _lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang, score6): the per-language stopword-density + CJK
+    byte-excess scores shared by :func:`lang_id` and :func:`lang_mix`
+    — expression shapes are load-bearing (the text_langid oracle
+    re-derives them verbatim)."""
+    spark = df.sparkSession
+    base = df.select(F.col(id_col),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    toks = base.select(id_col, F.explode(_tokens(F.col("_t"))).alias("tok"))
+    n = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    prof = lang_profile_table(spark)
+    hits = (toks.join(F.broadcast(prof), "tok")
+            .groupBy(id_col, "lang").agg(F.count(F.lit(1)).alias("_h")))
+    stop_scores = (hits.join(n, id_col)
+                   .select(F.col(id_col), "lang",
+                           F.round(F.col("_h").cast("double")
+                                   / F.greatest(F.col("_n"), F.lit(1))
+                                   * 1_000_000).cast("bigint")
+                           .alias("score6")))
+    chars = F.greatest(F.length("_t"), F.lit(1))
+    cjk_scores = base.select(
+        F.col(id_col), F.lit("cjk").alias("lang"),
+        F.round(F.least(
+            F.lit(1.0),
+            (F.octet_length("_t") - F.length("_t")).cast("double")
+            / (F.lit(2.0) * chars)) * 1_000_000).cast("bigint")
+        .alias("score6"))
+    return stop_scores.unionByName(cjk_scores)
+
+
+def lang_mix(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text",
+             min_score6: int = LANG_MIN_SCORE6) -> DataFrame:
+    """Language-MIXTURE detection (code-switching / boilerplate-mixed
+    pages — a standard curation drop class): the top TWO language
+    scores per document under the same profile scoring as
+    :func:`lang_id`; a doc is `is_mixed` when BOTH clear the
+    identification floor AND the runner-up reaches 30% of the top
+    score (integer cross-multiplication) — the margin matters because
+    the profiles legitimately overlap (a pure-Spanish doc lights the
+    French profile at ~0.2 density; that is relatedness, not
+    code-switching). Languages below the floor report 'und'. Same
+    scale shape as lang_id (one extra window row, no new shuffle)."""
+    scores = _lang_scores(df, id_col, text_col)
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("score6"), F.asc("lang"))
+    ranked = (scores.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= 2))
+
+    def side(rk, lang_out, score_out):
+        r = ranked.filter(F.col("_rk") == rk)
+        return r.select(
+            F.col(id_col),
+            F.when(F.col("score6") >= min_score6, F.col("lang"))
+            .otherwise(F.lit("und")).alias(lang_out),
+            F.col("score6").alias(score_out))
+
+    out = (df.select(id_col)
+           .join(side(1, "lang1", "score1_6"), id_col, "left")
+           .join(side(2, "lang2", "score2_6"), id_col, "left")
+           .na.fill(0, ["score1_6", "score2_6"])
+           .na.fill("und", ["lang1", "lang2"]))
+    return out.withColumn(
+        "is_mixed",
+        (F.col("lang1") != "und") & (F.col("lang2") != "und")
+        & (F.col("score2_6") * 10 >= F.col("score1_6") * 3))
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text",
             min_score6: int = LANG_MIN_SCORE6) -> DataFrame:
@@ -162,29 +230,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     dedup family; the CJK channel is pure codegen arithmetic on the
     base scan.
     """
-    spark = df.sparkSession
-    base = df.select(F.col(id_col),
-                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
-    toks = base.select(id_col, F.explode(_tokens(F.col("_t"))).alias("tok"))
-    n = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    prof = lang_profile_table(spark)
-    hits = (toks.join(F.broadcast(prof), "tok")
-            .groupBy(id_col, "lang").agg(F.count(F.lit(1)).alias("_h")))
-    stop_scores = (hits.join(n, id_col)
-                   .select(F.col(id_col), "lang",
-                           F.round(F.col("_h").cast("double")
-                                   / F.greatest(F.col("_n"), F.lit(1))
-                                   * 1_000_000).cast("bigint")
-                           .alias("score6")))
-    chars = F.greatest(F.length("_t"), F.lit(1))
-    cjk_scores = base.select(
-        F.col(id_col), F.lit("cjk").alias("lang"),
-        F.round(F.least(
-            F.lit(1.0),
-            (F.octet_length("_t") - F.length("_t")).cast("double")
-            / (F.lit(2.0) * chars)) * 1_000_000).cast("bigint")
-        .alias("score6"))
-    scores = stop_scores.unionByName(cjk_scores)
+    scores = _lang_scores(df, id_col, text_col)
     from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy(F.desc("score6"), F.asc("lang"))
     top = (scores.withColumn("_rk", F.row_number().over(w))

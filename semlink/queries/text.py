@@ -611,3 +611,54 @@ def ops_corpus_report(spark, sf_dir):
                  F.expr("CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)"
                         " AS BIGINT) * 1000000 div count(*)")
                  .cast("bigint").alias("dup_rate6")))
+
+
+@q("text_lang_mix", f"""
+  WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+  toks AS (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(trim(t), ' +'),
+                                     x -> x <> '')) AS tok
+           FROM base),
+  n AS (SELECT doc_id, count(*) AS _n FROM toks GROUP BY doc_id),
+  prof(tok, plang) AS (VALUES {_PROF_VALUES}),
+  hits AS (SELECT doc_id, plang, count(*) AS _h
+           FROM toks JOIN prof USING (tok) GROUP BY doc_id, plang),
+  stop_scores AS (SELECT h.doc_id, h.plang,
+                         CAST(ROUND(CAST(_h AS DOUBLE) / greatest(_n, 1)
+                                    * {SCALE}) AS BIGINT) AS score6
+                  FROM hits h JOIN n USING (doc_id)),
+  cjk AS (SELECT doc_id, 'cjk' AS plang,
+                 CAST(ROUND(least(1.0,
+                        CAST(strlen(t) - length(t) AS DOUBLE)
+                        / (2.0 * greatest(length(t), 1))) * {SCALE})
+                      AS BIGINT) AS score6
+          FROM base),
+  scores AS (SELECT * FROM stop_scores UNION ALL SELECT * FROM cjk),
+  ranked AS (SELECT doc_id, plang, score6,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score6 DESC, plang ASC)
+                      AS rk
+             FROM scores)
+  SELECT b.doc_id,
+         coalesce(CASE WHEN r1.score6 >= {ts.LANG_MIN_SCORE6}
+                       THEN r1.plang ELSE 'und' END, 'und') AS lang1,
+         coalesce(r1.score6, 0) AS score1_6,
+         coalesce(CASE WHEN r2.score6 >= {ts.LANG_MIN_SCORE6}
+                       THEN r2.plang ELSE 'und' END, 'und') AS lang2,
+         coalesce(r2.score6, 0) AS score2_6,
+         coalesce(CASE WHEN r1.score6 >= {ts.LANG_MIN_SCORE6}
+                       THEN r1.plang ELSE 'und' END, 'und') <> 'und'
+         AND coalesce(CASE WHEN r2.score6 >= {ts.LANG_MIN_SCORE6}
+                           THEN r2.plang ELSE 'und' END, 'und') <> 'und'
+           AS is_mixed
+  FROM base b
+  LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r1 USING (doc_id)
+  LEFT JOIN (SELECT * FROM ranked WHERE rk = 2) r2 USING (doc_id)
+""")
+def text_lang_mix(spark, sf_dir):
+    """Language-mixture detection (ts.lang_mix): top-2 profile scores
+    per doc, is_mixed when both clear the identification floor — the
+    code-switching drop class beside text_langid's argmax. Registry +
+    pytest + oracle verified on demand; demoted from the driver
+    window (see __spark_entry__)."""
+    return ts.lang_mix(_docs(spark, sf_dir))

@@ -1365,3 +1365,21 @@ def test_dedup_verdict_reason_priority(spark):
     assert got[13] == ("contained", False)
     assert got[26] == ("near_dup", False)         # cluster non-min
     assert got[0] == ("keep", True)
+
+
+def test_lang_mix_planted(spark):
+    """A half-English half-Spanish doc flags mixed with the right two
+    languages; monolingual docs don't; stopword-free gibberish is
+    (und, und)."""
+    from semlink.datapipe.textstats import lang_mix
+    en = "the and is of to in that it was for on are with as"
+    es = "el la los las de y es un una en que para por con no se al"
+    rows = [(0, en), (1, es), (2, en + " " + es),
+            (3, "zzz qqq xxx vvv kkk")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.lang1, r.lang2, r.is_mixed)
+           for r in lang_mix(df).collect()}
+    assert got[0][0] == "en" and not got[0][2]
+    assert got[1][0] == "es" and not got[1][2]
+    assert {got[2][0], got[2][1]} == {"en", "es"} and got[2][2]
+    assert got[3] == ("und", "und", False)
