@@ -6,7 +6,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..ngrams import explode_mentions, ngram_duckdb_sql
-from ..textnorm import NORMALIZE_DUCKDB_SQL, normalize_expr
+from ..textnorm import (NORMALIZE_DUCKDB_SQL, normalize_expr,
+                        soundex_duckdb_sql)
 from . import SCALE, _docs, _r6, _read, q
 
 
@@ -422,3 +423,31 @@ def rl_affine_gap(spark, sf_dir):
     return (df.withColumn("_ag", affine_gap_udf(F.col("a"), F.col("b")))
             .select("pair_id", "kind", F.col("_ag.score").alias("score"),
                     F.col("_ag.sim6").alias("sim6")))
+
+
+@q("rl_phonetic_blocking", f"""
+  WITH names AS (SELECT DISTINCT c_name AS name FROM customer),
+  keyed AS (SELECT name,
+                   {soundex_duckdb_sql('name')} AS sdx
+            FROM names)
+  SELECT name, sdx,
+         CAST(count(*) OVER (PARTITION BY sdx) AS BIGINT) AS block_size
+  FROM keyed
+""")
+def rl_phonetic_blocking(spark, sf_dir):
+    """Phonetic (Soundex) blocking keys over customer names — the
+    classic sounds-alike blocking channel (Christen '12 ch. 4) beside
+    the normalize/q-gram/sorted-neighborhood schemes. The key is a
+    pure shared-SQL expression faithful to the NARA H/W rule
+    (textnorm.soundex_expr), pinned against Spark's builtin codec by
+    pytest and hash-gated against the same expression in DuckDB here.
+    Registry + pytest + oracle verified on demand; demoted from the
+    driver window (see __spark_entry__)."""
+    from pyspark.sql import Window
+    from ..textnorm import soundex_expr
+    c = _read(spark, sf_dir, "customer")
+    names = c.select(F.col("c_name").alias("name")).distinct()
+    keyed = names.withColumn("sdx", soundex_expr(F.col("name")))
+    return keyed.withColumn(
+        "block_size",
+        F.count(F.lit(1)).over(Window.partitionBy("sdx")).cast("bigint"))

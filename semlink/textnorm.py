@@ -187,3 +187,57 @@ def normalize_unicode_udf(col: Column) -> Column:
         return s.map(one)
 
     return _norm(col)
+
+
+SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+SOUNDEX_TO = "01230120022455012623010202"
+
+
+def soundex_expr(col: Column) -> Column:
+    """American Soundex (T. Odell / NARA rules) as a pure shared-SQL
+    expression — the classic PHONETIC BLOCKING key (Christen '12 ch.
+    4): names that sound alike land in one block even when edit
+    distance is large (Smith/Smyth, Ashcraft/Ashcroft).
+
+    Faithful to the commons-codec/Spark builtin semantics: letters
+    only; H and W removed from the tail BEFORE coding, so codes merge
+    across them (Ashcraft → A261, not the naive A226); vowels code to
+    '0' which BREAKS runs and is dropped after collapsing; the first
+    letter's code participates in the first collapse. Run collapse
+    uses per-digit bounded replace passes (6 per digit covers runs to
+    64 — the tail is capped at 64 chars) because RE2 — DuckDB's regex
+    engine — silently no-ops pattern backreferences like (\\d)\\1+
+    (measured: the pattern matches nothing, input passes through).
+    Returns NULL when the input has no letters (the engine-wide null
+    convention; Spark's builtin returns '' there — pytest pins
+    equality on all letter-bearing inputs incl. the canonical NARA
+    vectors).
+    """
+    u = F.regexp_replace(F.upper(F.trim(col)), "[^A-Z]", "")
+    first = F.substring(u, 1, 1)
+    rest = F.translate(F.substring(u, 2, 64), "HW", "")
+    x = F.concat(F.translate(first, SOUNDEX_FROM, SOUNDEX_TO),
+                 F.translate(rest, SOUNDEX_FROM, SOUNDEX_TO))
+    for d in "123456":
+        for _ in range(6):
+            x = F.replace(x, F.lit(d + d), F.lit(d))
+    digits = F.replace(F.substring(x, 2, 64), F.lit("0"), F.lit(""))
+    return (F.when(u == "", F.lit(None))
+            .otherwise(F.concat(first,
+                                F.rpad(F.substring(digits, 1, 3), 3, "0"))))
+
+
+def soundex_duckdb_sql(col: str) -> str:
+    """The same expression as :func:`soundex_expr`, spelled for
+    DuckDB (oracle side)."""
+    u = f"regexp_replace(upper(trim({col})), '[^A-Z]', '', 'g')"
+    first = f"substr({u}, 1, 1)"
+    rest = f"translate(substr({u}, 2, 64), 'HW', '')"
+    x = (f"(translate({first}, '{SOUNDEX_FROM}', '{SOUNDEX_TO}') || "
+         f"translate({rest}, '{SOUNDEX_FROM}', '{SOUNDEX_TO}'))")
+    for d in "123456":
+        for _ in range(6):
+            x = f"replace({x}, '{d}{d}', '{d}')"
+    digits = f"replace(substr({x}, 2, 64), '0', '')"
+    return (f"CASE WHEN {u} = '' THEN NULL ELSE "
+            f"({first} || rpad(substr({digits}, 1, 3), 3, '0')) END")

@@ -122,3 +122,35 @@ def test_unicode_streaming_path_matches_batch(spark):
     b = {tuple(r) for r in stream_shaped.select(cols).collect()}
     assert a == b and len(a) > 0
     assert any("東京" in k for _, k in a)
+
+
+def test_soundex_expr_matches_builtin_codec(spark):
+    """The shared-SQL soundex (textnorm.soundex_expr) equals Spark's
+    builtin commons-codec soundex on every letter-bearing input —
+    including the canonical NARA H/W-rule vectors that naive
+    implementations miscode — and blocks sound-alike name variants
+    together."""
+    from pyspark.sql import functions as F
+    from semlink.textnorm import soundex_expr
+    words = ["Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+             "Pfister", "Honeyman", "Smith", "Smyth", "Washington",
+             "Lee", "Gutierrez", "Jackson", "  lowercase name ",
+             "O'Brien", "Czarkowska", "Wheaton", "Hholmes",
+             "Burroughs", "Burrows", "Ekzampul", "VanDeusen",
+             "Deusen", "Knuth", "Kant", "Lloyd", "Ladd"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    rows = df.select(
+        "w", soundex_expr(F.col("w")).alias("mine"),
+        F.soundex(F.regexp_replace(F.upper(F.trim("w")),
+                                   "[^A-Z]", "")).alias("builtin")).collect()
+    for r in rows:
+        assert r.mine == r.builtin, (r.w, r.mine, r.builtin)
+    got = {r.w: r.mine for r in rows}
+    assert got["Ashcraft"] == "A261"      # H/W rule, not naive A226
+    assert got["Smith"] == got["Smyth"]
+    assert got["Burroughs"] == got["Burrows"]
+    # letterless inputs: NULL (engine-wide convention)
+    nulls = df.sparkSession.createDataFrame(
+        [("123",), ("",), (None,)], "w string")
+    assert all(r.s is None for r in
+               nulls.select(soundex_expr(F.col("w")).alias("s")).collect())
