@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_containment", "text_lm_perplexity", "sample_token_budget",
     "rl_pagerank_prior", "text_novelty", "media_video_frames",
     "media_ahash_dedup", "rl_affine_gap",
+    "media_ahash_near_pairs", "text_lang_mix", "rl_phonetic_blocking",
 ]
 
 # headline entries that did not exist in the previous round's bench —
@@ -85,7 +86,9 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "dedup_containment", "text_lm_perplexity",
                "sample_token_budget", "rl_pagerank_prior",
                "text_novelty", "media_video_frames",
-               "media_ahash_dedup", "rl_affine_gap"]
+               "media_ahash_dedup", "rl_affine_gap",
+               "media_ahash_near_pairs", "text_lang_mix",
+               "rl_phonetic_blocking"]
 # dedup_cluster_stability is NOT benched: it is two runs of the same
 # checkpointed CC dedup_near_dup_clusters already times (~2x its
 # wall), pure redundancy per draw
