@@ -451,3 +451,71 @@ def rl_phonetic_blocking(spark, sf_dir):
     return keyed.withColumn(
         "block_size",
         F.count(F.lit(1)).over(Window.partitionBy("sdx")).cast("bigint"))
+
+
+_QG_NUM, _QG_DEN = 6, 10   # candidate: shared >= 60% of smaller set
+
+
+@q("rl_qgram_blocking", f"""
+  WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+  padded AS (SELECT name, '#' || upper(trim(name)) || '#' AS p
+             FROM names),
+  qg AS (SELECT DISTINCT name,
+                substr(p, i, 2) AS g
+         FROM padded,
+              unnest(generate_series(1, length(p) - 1)) AS t(i)),
+  sz AS (SELECT name, CAST(count(*) AS BIGINT) AS n FROM qg
+         GROUP BY name),
+  pairs AS (SELECT a.name AS left_name, b.name AS right_name,
+                   CAST(count(*) AS BIGINT) AS shared_qgrams
+            FROM qg a JOIN qg b ON a.g = b.g AND a.name < b.name
+            GROUP BY 1, 2)
+  SELECT p.left_name, p.right_name, p.shared_qgrams,
+         sl.n AS n_l, sr.n AS n_r
+  FROM pairs p
+  JOIN sz sl ON sl.name = p.left_name
+  JOIN sz sr ON sr.name = p.right_name
+  WHERE p.shared_qgrams * {_QG_DEN} >= {_QG_NUM} * least(sl.n, sr.n)
+""")
+def rl_qgram_blocking(spark, sf_dir):
+    """Q-gram (padded-bigram) blocking — the typo-robust channel
+    beside normalize / soundex / sorted-neighborhood (Christen '12
+    ch. 4): a single edit disturbs at most two of a name's n+1 padded
+    bigrams, so corrupted variants still co-block on the rest. The
+    candidate rule is FRACTIONAL — shared distinct q-grams >= 60% of
+    the smaller set, integer cross-multiplied — because an absolute
+    count degenerates on templated names (a shared prefix alone
+    passes any constant threshold; measured on customer names, where
+    count>=3 admitted ALL 11,175 pairs). One explode + equi self-join
+    + groupBy; never a cartesian. Over distinct part names.
+    Registry + pytest + oracle verified on demand; demoted from the
+    driver window (see __spark_entry__)."""
+    from pyspark.sql import Window
+    c = _read(spark, sf_dir, "part")
+    names = c.select(F.col("p_name").alias("name")).distinct()
+    padded = names.select(
+        "name",
+        F.concat(F.lit("#"), F.upper(F.trim("name")), F.lit("#"))
+        .alias("p"))
+    qg = (padded
+          .select("name", F.posexplode(F.expr("split(p, '(?!$)')"))
+                  .alias("_i", "_c"))
+          .withColumn("_n", F.lead("_c", 1).over(
+              Window.partitionBy("name").orderBy("_i")))
+          .filter(F.col("_n").isNotNull())
+          .select("name", F.concat("_c", "_n").alias("g"))
+          .distinct())
+    sz = qg.groupBy("name").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = qg.select(F.col("name").alias("left_name"), "g")
+    b = qg.select(F.col("name").alias("right_name"), "g")
+    pairs = (a.join(b, "g")
+             .filter(F.col("left_name") < F.col("right_name"))
+             .groupBy("left_name", "right_name")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("shared_qgrams")))
+    return (pairs
+            .join(sz.withColumnRenamed("name", "left_name")
+                  .withColumnRenamed("n", "n_l"), "left_name")
+            .join(sz.withColumnRenamed("name", "right_name")
+                  .withColumnRenamed("n", "n_r"), "right_name")
+            .filter(F.col("shared_qgrams") * _QG_DEN
+                    >= _QG_NUM * F.least("n_l", "n_r")))

@@ -123,3 +123,28 @@ def test_resolve_senses_scale_mode_identical(spark, fx_tiny_dfs):
         d["transcripts"], d["anchors"], d["page_links"],
         SemlinkConfig(broadcast_context_tables=False)).select(cols).collect()}
     assert a == b and len(a) > 0
+
+
+def test_qgram_blocking_typo_recall_and_template_immunity(spark):
+    """The fractional q-gram rule co-blocks single-typo variants
+    (one edit disturbs at most 2 of n+1 padded bigrams) but does NOT
+    admit pairs whose only overlap is a long templated prefix — the
+    degeneracy that sank an absolute count threshold."""
+    import tempfile
+
+    from semlink.queries import REGISTRY
+
+    rows = [(0, "goldenrod lavender spring"),
+            (1, "goldenrod lavander spring"),       # one typo
+            (2, "midnight chocolate lace"),
+            (3, "ACME#1 alpha beta gamma"),         # shared template,
+            (4, "ACME#2 delta epsilon zeta")]       # long distinct tails
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    d = tempfile.mkdtemp(prefix="semlink_qg_")
+    df.write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = {frozenset((r.left_name, r.right_name)): r.shared_qgrams
+           for r in REGISTRY["rl_qgram_blocking"][0](spark, d).collect()}
+    names = {i: t for i, t in rows}
+    assert frozenset((names[0], names[1])) in got   # typo pair co-blocks
+    assert frozenset((names[3], names[4])) not in got
+    assert all(names[2] not in pair for pair in got)
