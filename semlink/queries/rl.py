@@ -519,3 +519,61 @@ def rl_qgram_blocking(spark, sf_dir):
                   .withColumnRenamed("n", "n_r"), "right_name")
             .filter(F.col("shared_qgrams") * _QG_DEN
                     >= _QG_NUM * F.least("n_l", "n_r")))
+
+
+_SESSION_GAP_US = 1_800_000_000   # 30 min, integer microseconds
+
+
+@q("rl_gap_sessions", f"""
+  WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+  flagged AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+  sess AS (
+    SELECT user_id, us,
+           CAST(sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+             AS session_idx
+    FROM flagged)
+  SELECT user_id, session_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(min(us) AS BIGINT) AS start_us,
+         CAST(max(us) AS BIGINT) AS end_us,
+         CAST(max(us) - min(us) AS BIGINT) AS duration_us
+  FROM sess GROUP BY user_id, session_idx
+""")
+def rl_gap_sessions(spark, sf_dir):
+    """Batch sessionization by the 30-minute gap rule — the
+    conversation/session grouping a transcript pipeline applies
+    before per-session features (the batch mirror of §2.10's
+    streaming session_window): lag + running-sum windows per user,
+    all arithmetic in integer epoch microseconds (no float
+    timestamps anywhere — the NTZ→ltz hop is exact under the pinned
+    UTC session tz). One shuffle on the user key. Registry + pytest +
+    oracle verified on demand; demoted from the driver window (see
+    __spark_entry__)."""
+    from pyspark.sql import Window
+    e = (_read(spark, sf_dir, "events")
+         .select("user_id", "event_id",
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lag = F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_s",
+        F.when(lag.isNull() | (F.col("us") - lag > _SESSION_GAP_US),
+               1).otherwise(0))
+    cum = (Window.partitionBy("user_id").orderBy("us", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(cum).cast("bigint"))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.min("us").cast("bigint").alias("start_us"),
+                 F.max("us").cast("bigint").alias("end_us"),
+                 (F.max("us") - F.min("us")).cast("bigint")
+                 .alias("duration_us")))

@@ -148,3 +148,34 @@ def test_qgram_blocking_typo_recall_and_template_immunity(spark):
     assert frozenset((names[0], names[1])) in got   # typo pair co-blocks
     assert frozenset((names[3], names[4])) not in got
     assert all(names[2] not in pair for pair in got)
+
+
+def test_gap_sessions_planted(spark):
+    """Gap-rule sessionization: events 29 minutes apart chain into one
+    session, a 31-minute gap opens a new one, users are independent,
+    and a simultaneous-timestamp tie breaks on event_id without
+    splitting."""
+    import datetime
+    import tempfile
+
+    from semlink.queries import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (0, t0, 1), (1, t0 + 29 * m, 1), (2, t0 + 58 * m, 1),  # one sess
+        (3, t0 + 90 * m, 1),                                    # +32min: new
+        (4, t0, 2), (5, t0, 2),                                 # tie, user 2
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, "x", 0.0, "{}") for e, t, u in rows],
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string")
+    d = tempfile.mkdtemp(prefix="semlink_sess_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {(r.user_id, r.session_idx): (r.n_events, r.duration_us)
+           for r in REGISTRY["rl_gap_sessions"][0](spark, d).collect()}
+    assert got[(1, 1)] == (3, 58 * 60 * 1_000_000)
+    assert got[(1, 2)] == (1, 0)
+    assert got[(2, 1)] == (2, 0)
+    assert len(got) == 3
