@@ -456,7 +456,11 @@ def weighted_jaccard(df: DataFrame, pairs: DataFrame,
     (shingles on one side only contribute their full count to Σ max
     and 0 to Σ min), so only Σ min needs the pair join — one equi
     join on (doc, shingle) counts, the ngram_jaccard shape with a
-    groupBy-count instead of distinct.
+    groupBy-count instead of distinct. Like ngram_jaccard, EVERY
+    candidate pair stays in the output — a zero-overlap pair (an LSH
+    band-hash collision between unrelated docs) reports wmin=0 /
+    wjac6=0 rather than vanishing, so downstream threshold filters
+    and candidate-coverage counts see the full set.
     """
     occ = (shingles_exploded(df, id_col, text_col, n)
            .groupBy(id_col, "s")
@@ -466,10 +470,13 @@ def weighted_jaccard(df: DataFrame, pairs: DataFrame,
                     F.col("c").alias("c_l"))
     ro = occ.select(F.col(id_col).alias("right_id"), "s",
                     F.col("c").alias("c_r"))
-    wmin = (pairs.join(lo, "left_id").join(ro, ["right_id", "s"])
-            .groupBy("left_id", "right_id")
-            .agg(F.sum(F.least("c_l", "c_r")).cast("bigint")
-                 .alias("wmin")))
+    overlap = (pairs.join(lo, "left_id").join(ro, ["right_id", "s"])
+               .groupBy("left_id", "right_id")
+               .agg(F.sum(F.least("c_l", "c_r")).cast("bigint")
+                    .alias("wmin")))
+    wmin = (pairs.select("left_id", "right_id")
+            .join(overlap, ["left_id", "right_id"], "left")
+            .na.fill(0, ["wmin"]))
     return (wmin
             .join(tot.withColumnRenamed(id_col, "left_id")
                   .withColumnRenamed("w", "w_l"), "left_id")

@@ -301,7 +301,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif_frames(payload: bytes, return_px: bool = False) -> list:
+def decode_gif_frames(payload: bytes, return_px: bool = False,
+                      max_frames: int | None = None) -> list:
     """REAL multi-frame (animated) GIF decode, zero image-library
     dependencies: header + logical screen descriptor → color tables →
     EVERY image descriptor in turn — pure-Python LZW decompression
@@ -312,7 +313,10 @@ def decode_gif_frames(payload: bytes, return_px: bool = False) -> list:
     md5(hex(RGB bytes, row-major)) per frame. Stops GRACEFULLY at the
     first malformed / interlaced / unsupported frame and returns the
     frames decoded so far (a good leading frame is never lost to a bad
-    tail); non-GIF payloads return []. Never raises.
+    tail); non-GIF payloads return []. Never raises. ``max_frames``
+    stops the walk early — single-frame callers (decode_gif_pixels,
+    the aHash path) pass 1 so an animated GIF never pays the LZW cost
+    of frames they discard.
     """
     p = payload or b""
     frames: list = []
@@ -374,6 +378,8 @@ def decode_gif_frames(payload: bytes, return_px: bool = False) -> list:
                 if return_px:
                     fr["px"] = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
                 frames.append(fr)
+                if max_frames is not None and len(frames) >= max_frames:
+                    return frames
             elif b0 == 0x3B:                    # trailer
                 break
             else:
@@ -391,7 +397,7 @@ def decode_gif_pixels(payload: bytes) -> dict:
     interlaced / malformed payloads (never raises). Pinned by
     tests/test_datapipe.py against a reference LZW encoder.
     """
-    frames = decode_gif_frames(payload)
+    frames = decode_gif_frames(payload, max_frames=1)
     if not frames:
         return {"n_px": None, "mean": None, "px_digest": None}
     f0 = frames[0]
@@ -1117,7 +1123,7 @@ def decode_image_ahash(payload: bytes) -> str | None:
         r = decode_png_pixels(p, return_px=True)
         return ahash64(r.get("px")) if r.get("px") is not None else None
     if p[:6] in (b"GIF87a", b"GIF89a"):
-        fr = decode_gif_frames(p, return_px=True)
+        fr = decode_gif_frames(p, return_px=True, max_frames=1)
         return ahash64(fr[0]["px"]) if fr else None
     if p[:2] == b"\xff\xd8":
         r = decode_jpeg_pixels(p, return_px=True)

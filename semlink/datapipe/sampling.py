@@ -56,8 +56,8 @@ def token_budget_sample(df: DataFrame, strata_col: str,
     running-sum window; see :func:`stratified_sample` on hot-stratum
     salting.
     """
-    toks = F.array_remove(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r" +"), "")
+    from .dedup import _tokens
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
     w = (Window.partitionBy(strata_col)
          .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -765,12 +765,15 @@ _LSH_PAIRS_BODY = f"""
           FROM ({_SHINGLE_ALL_SQL}) GROUP BY doc_id, s),
   tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS w
           FROM occ GROUP BY doc_id),
-  wm AS (SELECT cand.left_id, cand.right_id,
+  ov AS (SELECT cand.left_id, cand.right_id,
                 CAST(sum(least(l.c, r.c)) AS BIGINT) AS wmin
          FROM cand
          JOIN occ l ON l.doc_id = cand.left_id
          JOIN occ r ON r.doc_id = cand.right_id AND r.s = l.s
-         GROUP BY cand.left_id, cand.right_id)
+         GROUP BY cand.left_id, cand.right_id),
+  wm AS (SELECT cand.left_id, cand.right_id,
+                coalesce(ov.wmin, 0) AS wmin
+         FROM cand LEFT JOIN ov USING (left_id, right_id))
   SELECT wm.left_id, wm.right_id, wm.wmin,
          tl.w AS w_l, tr.w AS w_r,
          CAST(ROUND(CAST(wm.wmin AS DOUBLE)

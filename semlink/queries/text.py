@@ -15,6 +15,18 @@ _STOPR_SQL = f"""
   / CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END
 """
 
+# the 3-term quality score, shared by every oracle that grades docs
+# (text_quality_score, text_token_quality, ops_corpus_report) — ONE
+# definition so a formula tweak cannot desynchronize an oracle from
+# ts.with_quality_score (review r5s3)
+_QUALITY6_EXPR = f"""CAST(ROUND((
+           0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END)
+         + 0.3 * least(({_STOPR_SQL}) * 3.0, 1.0)
+         ) * {SCALE}) AS BIGINT)"""
+
 _PROF_VALUES = ", ".join(
     f"('{tok}', '{lang}')"
     for lang, words in sorted(ts.LANG_STOPWORDS.items())
@@ -79,13 +91,7 @@ def text_token_stats(spark, sf_dir):
 
 @q("text_quality_score", f"""
   SELECT doc_id,
-         CAST(ROUND((
-           0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-         + 0.3 * (CASE WHEN length(text) > 0 THEN
-             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-             / length(text) ELSE 0.0 END)
-         + 0.3 * least(({_STOPR_SQL}) * 3.0, 1.0)
-         ) * {SCALE}) AS BIGINT) AS quality6
+         {_QUALITY6_EXPR} AS quality6
   FROM (SELECT doc_id, text,
                list_filter(string_split_regex(trim(text), ' +'),
                            x -> x <> '') AS toks
@@ -429,13 +435,7 @@ def text_pii_stats(spark, sf_dir):
            AS ws_tokens,
          len(regexp_extract_all(text, '{ts.WORD_RE}')) AS word_tokens,
          length(text) AS n_chars_out,
-         CAST(ROUND((
-           0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-         + 0.3 * (CASE WHEN length(text) > 0 THEN
-             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-             / length(text) ELSE 0.0 END)
-         + 0.3 * least(({_STOPR_SQL}) * 3.0, 1.0)
-         ) * {SCALE}) AS BIGINT) AS quality6
+         {_QUALITY6_EXPR} AS quality6
   FROM (SELECT doc_id, text,
                list_filter(string_split_regex(trim(text), ' +'),
                            x -> x <> '') AS toks
@@ -555,13 +555,7 @@ def text_novelty(spark, sf_dir):
 _Q6_BODY = f"""
   SELECT doc_id, lang, source, text,
          CAST(len(toks) AS BIGINT) AS ws_tokens,
-         CAST(ROUND((
-           0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-         + 0.3 * (CASE WHEN length(text) > 0 THEN
-             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
-                  AS DOUBLE) / length(text) ELSE 0.0 END)
-         + 0.3 * least(({_STOPR_SQL}) * 3.0, 1.0)
-         ) * {SCALE}) AS BIGINT) AS q6
+         {_QUALITY6_EXPR} AS q6
   FROM (SELECT doc_id, lang, source, text,
                list_filter(string_split_regex(trim(text), ' +'),
                            x -> x <> '') AS toks
@@ -650,6 +644,7 @@ def ops_corpus_report(spark, sf_dir):
                        THEN r1.plang ELSE 'und' END, 'und') <> 'und'
          AND coalesce(CASE WHEN r2.score6 >= {ts.LANG_MIN_SCORE6}
                            THEN r2.plang ELSE 'und' END, 'und') <> 'und'
+         AND coalesce(r2.score6, 0) * 10 >= coalesce(r1.score6, 0) * 3
            AS is_mixed
   FROM base b
   LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r1 USING (doc_id)

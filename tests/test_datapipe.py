@@ -1269,9 +1269,12 @@ def test_weighted_jaccard_bag_semantics(spark):
     from semlink.datapipe.dedup import shingle_set, weighted_jaccard
     phrase = "lorem ipsum dolor sit"
     rows = [(0, phrase), (1, phrase),
-            (2, " ".join([phrase] * 5)), (3, " ".join([phrase] * 5))]
+            (2, " ".join([phrase] * 5)), (3, " ".join([phrase] * 5)),
+            (4, "totally disjoint shingle content here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = spark.createDataFrame([(0, 1), (2, 3), (0, 2)],
+    # (0, 4) is a zero-overlap candidate (an LSH band-hash collision
+    # shape): it must SURVIVE with wmin=0, not vanish (review r5s3)
+    pairs = spark.createDataFrame([(0, 1), (2, 3), (0, 2), (0, 4)],
                                   "left_id long, right_id long")
     got = {(r.left_id, r.right_id): (r.wmin, r.w_l, r.w_r, r.wjac6)
            for r in weighted_jaccard(df, pairs).collect()}
@@ -1281,6 +1284,7 @@ def test_weighted_jaccard_bag_semantics(spark):
     wmin, w_l, w_r, wj = got[(0, 2)]
     assert (w_l, w_r) == (2, 18)
     assert wmin == 2 and wj == round(2 / 18 * 1e6)
+    assert got[(0, 4)] == (0, 2, 3, 0)   # zero-overlap pair kept
     # set Jaccard would call (0,2) much more similar: distinct sets
     s0 = set(df.select(shingle_set(F.col("text")).alias("x"))
              .collect()[0].x)
@@ -1383,3 +1387,11 @@ def test_lang_mix_planted(spark):
     assert got[1][0] == "es" and not got[1][2]
     assert {got[2][0], got[2][1]} == {"en", "es"} and got[2][2]
     assert got[3] == ("und", "und", False)
+    # margin region: both languages above the floor, runner-up under
+    # 30% of the top — related-language bleed, NOT mixed (and the
+    # oracle applies the same margin — review r5s3 found it missing)
+    mdoc = spark.createDataFrame(
+        [(9, "the and is of to in that it was for el")],
+        "doc_id long, text string")
+    r = lang_mix(mdoc).collect()[0]
+    assert r.lang1 == "en" and r.lang2 == "es" and not r.is_mixed

@@ -32,7 +32,7 @@ GIFS = "/tmp/semlink_newops_gifs"
 PHASH = "/tmp/semlink_newops_phash"
 
 KERNELS = ["containment", "lm", "novelty", "budget",
-           "pagerank", "frames", "ahash"]
+           "pagerank", "pagerank_big", "frames", "ahash"]
 
 CHILD = r"""
 import sys, time
