@@ -337,3 +337,117 @@ def embed_text(df: DataFrame, id_col: str = "doc_id",
         F.when(F.col("ss") > 0, F.col(f"v{j}").cast("double") / norm)
         .otherwise(F.lit(0.0)).cast("float") for j in range(dim)])
     return c.select(F.col(id_col), arr.alias(out_col))
+
+
+def l2sq_expr(a: str, b: str) -> Column:
+    """Squared Euclidean distance as three sequential-fold inner
+    products — ip(a,a) − 2·ip(a,b) + ip(b,b) — the SAME element order
+    DuckDB's list_inner_product evaluates, so scaled-bigint
+    quantization is bit-stable cross-engine (the cosine_expr
+    precedent)."""
+    def ip(x: str, y: str) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y),
+                       lambda p, r: p.cast("double") * r.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+    return ip(a, a) - 2 * ip(a, b) + ip(b, b)
+
+
+def _kmeans_l2(sub: DataFrame, k: int, iters: int,
+               id_col: str) -> DataFrame:
+    """Lloyd k-means on a (id, semb) subvector table under SQUARED-L2
+    assignment (PQ's reconstruction-error criterion — cosine ignores
+    magnitude) with the kmeans_centroids determinism discipline:
+    k lowest-id seeds, scaled-bigint distance rank (ties cell asc),
+    scaled-bigint mean update, empty cells carry over, centroids
+    re-literalized per iteration (hard lineage cut)."""
+    spark = sub.sparkSession
+    w = Window.orderBy(id_col)
+    cur = (sub.orderBy(id_col).limit(k)
+           .select((F.row_number().over(w) - 1).alias("cell"),
+                   F.transform("semb", lambda x: x.cast("double"))
+                   .alias("c_emb")))
+    cents = {r["cell"]: list(r["c_emb"]) for r in cur.collect()}
+    e6 = F.lit(1_000_000.0)
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            sorted(cents.items()), "cell int, c_emb array<double>")
+        d26 = F.round(l2sq_expr("semb", "c_emb") * 1_000_000).cast("bigint")
+        wr = Window.partitionBy(id_col).orderBy(F.asc("_d26"), F.asc("cell"))
+        a = (sub.crossJoin(F.broadcast(cent_df))
+             .withColumn("_d26", d26)
+             .withColumn("_rk", F.row_number().over(wr))
+             .filter(F.col("_rk") == 1))
+        upd = (a.select("cell", F.posexplode("semb").alias("pos", "x"))
+               .groupBy("cell", "pos")
+               .agg(F.sum(F.round(F.col("x").cast("double") * e6)
+                          .cast("bigint")).alias("s"),
+                    F.count(F.lit(1)).alias("n"))
+               .withColumn("m", F.col("s").cast("double") / F.col("n") / e6)
+               .groupBy("cell")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                    .alias("pm"))
+               .select("cell", F.col("pm.m").alias("c_emb")))
+        for r in upd.collect():
+            cents[r["cell"]] = list(r["c_emb"])
+    return spark.createDataFrame(
+        sorted(cents.items()), "cell int, c_emb array<double>")
+
+
+def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 4, k: int = 8,
+                 iters: int = 2, id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> DataFrame:
+    """PRODUCT-QUANTIZATION codebooks (Jégou-Douze-Schmid PAMI'11):
+    the embedding splits into m contiguous subvectors and each
+    subspace trains its own small L2 k-means codebook — m·k centroids
+    encode k^m effective cells, the standard memory-bound ANN
+    compressor. Returns (subspace, cell, c_emb).
+
+    Scale shape: per subspace the SAME distributed Lloyd as the IVF
+    coarse quantizer (broadcast-crossJoin assignment, map-side-
+    combined scaled-bigint mean update; only m·k·(dim/m) centroid
+    doubles ever reach the driver). The driver loop over m is bounded
+    and each subspace's job is independent."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    s = dim // m
+    spark = embeddings.sparkSession
+    out = None
+    for j in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(emb_col), j * s + 1, s).alias("semb"))
+        cb = (_kmeans_l2(sub, k, iters, id_col)
+              .withColumn("subspace", F.lit(j)))
+        out = cb if out is None else out.unionByName(cb)
+    return out.select("subspace", "cell", "c_emb")
+
+
+def pq_codes(embeddings: DataFrame, codebooks: DataFrame, dim: int,
+             m: int = 4, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> DataFrame:
+    """PQ encoding: per (vector, subspace) the nearest codebook cell
+    by squared L2 (ties cell asc) plus the quantization error d2_6 —
+    one broadcast crossJoin over the m·k codebook rows, one window
+    keyed by (vector, subspace). Output (vec_id, subspace, code,
+    d2_6); Σ d2_6 over subspaces is the vector's total reconstruction
+    error (subspace squared errors are additive)."""
+    s = dim // m
+    sub = embeddings.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(0, {m - 1}), "
+            f"j -> struct(j as subspace, "
+            f"slice({emb_col}, j * {s} + 1, {s}) as semb))")).alias("b")
+    ).select(id_col, F.col("b.subspace").alias("subspace"),
+             F.col("b.semb").alias("semb"))
+    d26 = F.round(l2sq_expr("semb", "c_emb") * 1_000_000).cast("bigint")
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.asc("_d26"), F.asc("cell"))
+    return (sub.join(F.broadcast(codebooks), "subspace")
+            .withColumn("_d26", d26)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col(id_col), "subspace",
+                    F.col("cell").cast("bigint").alias("code"),
+                    F.col("_d26").alias("d2_6")))

@@ -230,3 +230,59 @@ def test_embed_to_ivf_near_dup_composition(spark):
     # unrelated docs use disjoint vocabularies: no cross-doc edges
     extra = got - planted
     assert not extra, f"spurious edges {sorted(extra)[:5]}"
+
+
+def test_pq_matches_numpy_mirror(spark):
+    """The distributed PQ fit (per-subspace L2 Lloyd with lowest-id
+    seeds and scaled-bigint determinism) reproduces an independent
+    numpy mirror bit-exactly — codebooks, codes, and quantization
+    errors — and identical vectors always share identical codes with
+    equal additive errors."""
+    import numpy as np
+
+    from semlink.datapipe.simsearch import pq_codebooks, pq_codes
+
+    rng = np.random.RandomState(5)
+    base = rng.rand(40, 8)
+    vecs = np.vstack([base, base[:10]])          # planted exact twins
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, k, iters, dim = 2, 4, 2, 8
+    cb = {(r.subspace, r.cell): np.array(r.c_emb)
+          for r in pq_codebooks(df, dim=dim, m=m, k=k, iters=iters).collect()}
+    got = {(r.vec_id, r.subspace): (r.code, r.d2_6)
+           for r in pq_codes(
+               df, spark.createDataFrame(
+                   [(s, c, [float(x) for x in v])
+                    for (s, c), v in cb.items()],
+                   "subspace int, cell int, c_emb array<double>"),
+               dim=dim, m=m).collect()}
+    # numpy mirror with the same quantization discipline
+    s = dim // m
+    for j in range(m):
+        sub = vecs[:, j * s:(j + 1) * s]
+        cents = {c: sub[c].copy() for c in range(k)}   # lowest-id seeds
+        for _ in range(iters):
+            d2 = {c: np.round(
+                ((sub - cents[c][None, :]) ** 2).sum(axis=1) * 1e6)
+                for c in range(k)}
+            assign = np.array([min(range(k), key=lambda c: (d2[c][i], c))
+                               for i in range(len(sub))])
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    ssum = np.round(sub[mask] * 1e6).sum(axis=0)
+                    cents[c] = ssum / mask.sum() / 1e6
+        want_cb = {c: cents[c] for c in range(k)}
+        for c in range(k):
+            assert np.allclose(cb[(j, c)], want_cb[c], atol=0), (j, c)
+        d2 = {c: np.round(
+            ((sub - cents[c][None, :]) ** 2).sum(axis=1) * 1e6)
+            for c in range(k)}
+        for i in range(len(sub)):
+            code = min(range(k), key=lambda c: (d2[c][i], c))
+            assert got[(i, j)] == (code, int(d2[code][i])), (i, j)
+    # exact twins share codes and errors in every subspace
+    for i in range(10):
+        for j in range(m):
+            assert got[(i, j)] == got[(40 + i, j)]
