@@ -451,3 +451,48 @@ def pq_codes(embeddings: DataFrame, codebooks: DataFrame, dim: int,
             .select(F.col(id_col), "subspace",
                     F.col("cell").cast("bigint").alias("code"),
                     F.col("_d26").alias("d2_6")))
+
+
+def pq_adc_topk(embeddings: DataFrame, queries: DataFrame,
+                codebooks: DataFrame, dim: int, m: int = 4,
+                k: int = 5, id_col: str = "vec_id",
+                emb_col: str = "embedding",
+                q_id: str = "query_id", q_emb: str = "q_emb") -> DataFrame:
+    """ASYMMETRIC DISTANCE COMPUTATION over PQ codes (Jégou PAMI'11
+    §III): the uncompressed query builds a per-subspace lookup table
+    of exact query↔centroid squared distances (|queries|·m·k rows —
+    tiny), and every database vector's approximate distance is the
+    INTEGER sum of its m table entries — the memory-bound search that
+    never touches raw database vectors.
+
+    Determinism: each LUT entry quantizes to a scaled bigint before
+    the per-vector sum, so the approximate distances are exact
+    integer arithmetic; ranks tie on cand id. Scale shape: the LUT is
+    a broadcast (queries × m·k); the scan is ONE equi join of the
+    code table against it plus a groupBy(query, vector) — map-side
+    combined, no shuffle keyed on anything wider than the pair."""
+    s = dim // m
+    codes = pq_codes(embeddings, codebooks, dim=dim, m=m,
+                     id_col=id_col, emb_col=emb_col)
+    qsub = queries.select(
+        F.col(q_id),
+        F.explode(F.expr(
+            f"transform(sequence(0, {m - 1}), "
+            f"j -> struct(j as subspace, "
+            f"slice({q_emb}, j * {s} + 1, {s}) as semb))")).alias("b")
+    ).select(q_id, F.col("b.subspace").alias("subspace"),
+             F.col("b.semb").alias("semb"))
+    lut = (qsub.join(F.broadcast(codebooks), "subspace")
+           .select(F.col(q_id), "subspace",
+                   F.col("cell").cast("bigint").alias("code"),
+                   F.round(l2sq_expr("semb", "c_emb") * 1_000_000)
+                   .cast("bigint").alias("lut_d2_6")))
+    approx = (codes.join(lut, ["subspace", "code"])
+              .filter(F.col(q_id) != F.col(id_col))
+              .groupBy(q_id, id_col)
+              .agg(F.sum("lut_d2_6").cast("bigint").alias("ad2_6")))
+    w = Window.partitionBy(q_id).orderBy(F.asc("ad2_6"), F.asc(id_col))
+    return (approx.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col(q_id), F.col(id_col).alias("cand_id"),
+                    "ad2_6", "rk"))

@@ -344,3 +344,55 @@ def ann_pq_codes(spark, sf_dir):
     cb = ss.pq_codebooks(e, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K,
                          iters=_PQ_ITERS)
     return ss.pq_codes(e, cb, dim=_PQ_DIM, m=_PQ_M)
+
+
+def _pq_lut_sql(j: int) -> str:
+    s = _PQ_DIM // _PQ_M
+    a, b = j * s + 1, (j + 1) * s
+    qsub = f"CAST(q.embedding[{a}:{b}] AS DOUBLE[])"
+    l2 = _l2_sql(qsub, "c.c_emb")
+    return f"""
+  lut{j} AS (
+    SELECT q.vec_id AS query_id, {j} AS subspace,
+           CAST(c.cell AS BIGINT) AS code,
+           CAST(ROUND(({l2}) * {SCALE}) AS BIGINT) AS lut_d2_6
+    FROM embeddings q CROSS JOIN s{j}c{_PQ_ITERS} c
+    WHERE q.vec_id < 25)"""
+
+
+@q("ann_pq_adc_topk", "WITH " + ",".join(
+    _pq_sub_sql(j) for j in range(_PQ_M)) + "," + ",".join(
+    _pq_lut_sql(j) for j in range(_PQ_M)) + f""",
+  codes AS ({" UNION ALL ".join(
+    f"SELECT vec_id, subspace, code FROM s{j}fin"
+    for j in range(_PQ_M))}),
+  luts AS ({" UNION ALL ".join(
+    f"SELECT * FROM lut{j}" for j in range(_PQ_M))}),
+  approx AS (
+    SELECT l.query_id, c.vec_id AS cand_id,
+           CAST(sum(l.lut_d2_6) AS BIGINT) AS ad2_6
+    FROM codes c JOIN luts l
+      ON l.subspace = c.subspace AND l.code = c.code
+    WHERE l.query_id <> c.vec_id
+    GROUP BY l.query_id, c.vec_id)
+  SELECT query_id, cand_id, ad2_6, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ad2_6 ASC, cand_id ASC) AS rk
+    FROM approx)
+  WHERE rk <= 5
+""")
+def ann_pq_adc_topk(spark, sf_dir):
+    """ADC top-k over PQ codes (Jégou PAMI'11 §III) — the query path
+    of the compressor: per-query lookup tables of quantized
+    query↔centroid squared distances, approximate distance = integer
+    sum of m table entries, rank asc with cand-id ties. The oracle
+    re-runs the full four-subspace Lloyd fit AND the LUT search in
+    SQL. Registry + pytest + oracle verified on demand; demoted from
+    the driver window (see __spark_entry__)."""
+    e = _read(spark, sf_dir, "embeddings")
+    cb = ss.pq_codebooks(e, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K,
+                         iters=_PQ_ITERS)
+    q_ = (e.filter(F.col("vec_id") < 25)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb")))
+    return ss.pq_adc_topk(e, q_, cb, dim=_PQ_DIM, m=_PQ_M, k=5)
