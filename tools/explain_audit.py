@@ -359,6 +359,34 @@ def main():
                    and "ArrowEvalPython" not in p23
                    and "BroadcastNestedLoopJoin" not in p23))
 
+    # 24. PQ codes: the only nested-loop join is the bounded m·k
+    # codebook broadcast; assignment window keys on (vector,
+    # subspace), never SinglePartition over data; no Python
+    from semlink.datapipe.simsearch import pq_codebooks, pq_codes
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cbk = pq_codebooks(emb, dim=64)
+    p24 = formatted(pq_codes(emb, cbk, dim=64))
+    sections["PQ codes"] = p24
+    checks.append(("pq codes: bounded codebook broadcast only, "
+                   "JVM-only, window keyed by (vec, subspace)",
+                   "CartesianProduct" not in p24
+                   and "BatchEvalPython" not in p24
+                   and "ArrowEvalPython" not in p24
+                   and _nodes(p24, "BroadcastNestedLoopJoin") <= 1))
+
+    # 25. ADC search: the LUT lookup is a hash EQUI join on
+    # (subspace, code) — the scan never nested-loops over queries
+    from semlink.datapipe.simsearch import pq_adc_topk
+    q_emb = (emb.filter(F.col("vec_id") < 25)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("q_emb")))
+    p25 = formatted(pq_adc_topk(emb, q_emb, cbk, dim=64))
+    sections["PQ ADC top-k"] = p25
+    checks.append(("pq adc: equi LUT join, bounded broadcasts only",
+                   "CartesianProduct" not in p25
+                   and "BatchEvalPython" not in p25
+                   and _nodes(p25, "BroadcastNestedLoopJoin") <= 2))
+
     out = ["# PLANS — physical plan audit\n",
            "Generated by tools/explain_audit.py. Checks:\n"]
     ok = True
