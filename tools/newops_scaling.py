@@ -30,9 +30,10 @@ EDGES = "/tmp/semlink_newops_edges"
 EDGES_BIG = "/tmp/semlink_newops_edges_big"
 GIFS = "/tmp/semlink_newops_gifs"
 PHASH = "/tmp/semlink_newops_phash"
+VECS = "/tmp/semlink_newops_vecs"
 
 KERNELS = ["containment", "lm", "novelty", "budget",
-           "pagerank", "pagerank_big", "frames", "ahash"]
+           "pagerank", "pagerank_big", "frames", "ahash", "pq"]
 
 CHILD = r"""
 import sys, time
@@ -82,6 +83,12 @@ elif kernel == "ahash":
     df = spark.read.parquet(%(phash)r)
     t0 = time.time()
     n = extract_ahash(df).count()
+elif kernel == "pq":
+    from semlink.datapipe.simsearch import pq_codebooks, pq_codes
+    e = spark.read.parquet(%(vecs)r)
+    t0 = time.time()
+    cb = pq_codebooks(e, dim=64)
+    n = pq_codes(e, cb, dim=64).count()
 print("RESULT", time.time() - t0, n, flush=True)
 """
 
@@ -124,6 +131,15 @@ def gen() -> None:
                 for r in range(300) for mid, p, _n, _w, _h in fx]
         spark.createDataFrame(rows, "media_id string, payload binary") \
             .repartition(32).write.mode("overwrite").parquet(GIFS)
+    if not os.path.exists(VECS):
+        # 500k 64-dim vectors: embeddings replicated x100 with a
+        # deterministic per-replica rotation of the id space
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        reps = spark.range(100).select(F.col("id").alias("r"))
+        (e.crossJoin(reps)
+         .select((F.col("vec_id") + F.col("r") * 1_000_000)
+                 .alias("vec_id"), "embedding")
+         .repartition(32).write.mode("overwrite").parquet(VECS))
     if not os.path.exists(PHASH):
         fx = synthesize_phash_fixtures(12)
         rows = [(f"{mid}_{r}", bytearray(p))
@@ -140,7 +156,8 @@ def run_cell(kernel: str, cpus: int, draws: int) -> list[float]:
         r = subprocess.run(
             [sys.executable, "-c", CHILD % {
                 "repo": REPO, "docs": DOCS, "edges": EDGES,
-                "edges_big": EDGES_BIG, "gifs": GIFS, "phash": PHASH},
+                "edges_big": EDGES_BIG, "gifs": GIFS, "phash": PHASH,
+                "vecs": VECS},
              kernel, str(cpus)],
             capture_output=True, text=True, check=True, env=env)
         line = [ln for ln in r.stdout.splitlines()
