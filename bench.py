@@ -58,7 +58,7 @@ HEADLINE = [
     "media_ahash_dedup", "rl_affine_gap",
     "media_ahash_near_pairs", "text_lang_mix", "rl_phonetic_blocking",
     "rl_qgram_blocking", "rl_gap_sessions", "ann_pq_codes",
-    "ann_pq_adc_topk",
+    "ann_pq_adc_topk", "ann_ivfpq_codes",
 ]
 
 # headline entries that did not exist in the previous round's bench —
@@ -91,7 +91,8 @@ NEW_QUERIES = ["text_repetition", "text_heuristic_filters",
                "media_ahash_dedup", "rl_affine_gap",
                "media_ahash_near_pairs", "text_lang_mix",
                "rl_phonetic_blocking", "rl_qgram_blocking",
-               "rl_gap_sessions", "ann_pq_codes", "ann_pq_adc_topk"]
+               "rl_gap_sessions", "ann_pq_codes", "ann_pq_adc_topk",
+               "ann_ivfpq_codes"]
 # dedup_cluster_stability is NOT benched: it is two runs of the same
 # checkpointed CC dedup_near_dup_clusters already times (~2x its
 # wall), pure redundancy per draw

@@ -496,3 +496,40 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame,
             .filter(F.col("rk") <= k)
             .select(F.col(q_id), F.col(id_col).alias("cand_id"),
                     "ad2_6", "rk"))
+
+
+def ivfpq_codes(embeddings: DataFrame, dim: int, coarse_k: int = 8,
+                m: int = 4, k: int = 8, iters: int = 2,
+                id_col: str = "vec_id",
+                emb_col: str = "embedding") -> DataFrame:
+    """IVF-PQ RESIDUAL encoding — the production ANN index shape
+    (Jégou PAMI'11 §IV / the FAISS IVFPQ layout): route each vector
+    to its coarse cell (the IVF family's seed centroids + cosine
+    assignment, unchanged), subtract the cell centroid, and
+    product-quantize the RESIDUAL — residuals are far more
+    concentrated than raw vectors, so the same m·k codebook budget
+    buys much lower quantization error.
+
+    Output: (vec_id, cell, subspace, code, d2_6) — the inverted-list
+    key (cell) plus the m-part residual code; Σ d2_6 is the residual
+    reconstruction error. Scale shape: the coarse step is the
+    existing broadcast scan; the residual is one zip_with subtract;
+    codebooks/codes reuse the PQ machinery verbatim on the residual
+    table."""
+    cents = seed_centroids(embeddings, coarse_k, id_col, emb_col)
+    a = assign_cells(embeddings.select(id_col, emb_col), cents, id_col,
+                     nprobe=1, emb_col=emb_col)
+    resid = (a.join(F.broadcast(cents), "cell")
+             .select(F.col(id_col), "cell",
+                     F.zip_with(emb_col, "c_emb",
+                                lambda x, c: x.cast("double") - c)
+                     .alias("residual")))
+    cb = pq_codebooks(resid.select(id_col, F.col("residual")
+                                   .alias(emb_col)),
+                      dim=dim, m=m, k=k, iters=iters, id_col=id_col)
+    codes = pq_codes(resid.select(id_col, F.col("residual")
+                                  .alias(emb_col)),
+                     cb, dim=dim, m=m, id_col=id_col)
+    return (codes.join(resid.select(id_col, "cell"), id_col)
+            .select(id_col, F.col("cell").cast("bigint").alias("cell"),
+                    "subspace", "code", "d2_6"))

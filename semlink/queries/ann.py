@@ -276,9 +276,11 @@ def _l2_sql(a: str, b: str) -> str:
             f" + list_inner_product({b}, {b}))")
 
 
-def _pq_sub_sql(j: int) -> str:
+def _pq_sub_sql(j: int, src: str = "embeddings") -> str:
     """One subspace's seed + unrolled-Lloyd + final-assignment CTE
-    chain (the _km_iter_sql pattern under L2)."""
+    chain (the _km_iter_sql pattern under L2) over relation `src`
+    (a (vec_id, embedding DOUBLE[]) shape — `embeddings` for plain
+    PQ, the residual CTE for IVF-PQ)."""
     s = _PQ_DIM // _PQ_M
     a, b = j * s + 1, (j + 1) * s
     sub_e = f"CAST(e.embedding[{a}:{b}] AS DOUBLE[])"
@@ -286,7 +288,7 @@ def _pq_sub_sql(j: int) -> str:
   s{j}c0 AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
            CAST(embedding[{a}:{b}] AS DOUBLE[]) AS c_emb
-    FROM (SELECT vec_id, embedding FROM embeddings
+    FROM (SELECT vec_id, embedding FROM {src}
           ORDER BY vec_id LIMIT {_PQ_K}))"""]
     for i in range(_PQ_ITERS):
         prev = f"s{j}c{i}"
@@ -297,7 +299,7 @@ def _pq_sub_sql(j: int) -> str:
       SELECT e.vec_id, {sub_e} AS semb, c.cell,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
                CAST(ROUND(({l2}) * {SCALE}) AS BIGINT) ASC, c.cell) AS crk
-      FROM embeddings e CROSS JOIN {prev} c) WHERE crk = 1),
+      FROM {src} e CROSS JOIN {prev} c) WHERE crk = 1),
   s{j}upd{i} AS (
     SELECT cell, list(m ORDER BY pos) AS c_emb FROM (
       SELECT cell, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS m FROM (
@@ -320,7 +322,7 @@ def _pq_sub_sql(j: int) -> str:
              CAST(ROUND(({l2f}) * {SCALE}) AS BIGINT) AS d2_6,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
                CAST(ROUND(({l2f}) * {SCALE}) AS BIGINT) ASC, c.cell) AS crk
-      FROM embeddings e CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE crk = 1)""")
+      FROM {src} e CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE crk = 1)""")
     return "".join(parts)
 
 
@@ -396,3 +398,51 @@ def ann_pq_adc_topk(spark, sf_dir):
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("q_emb")))
     return ss.pq_adc_topk(e, q_, cb, dim=_PQ_DIM, m=_PQ_M, k=5)
+
+
+_IVFPQ_COARSE_K = 8
+
+_RESID_SQL = f"""
+  rseeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           CAST(embedding AS DOUBLE[]) AS c_emb
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {_IVFPQ_COARSE_K})),
+  rasg AS (
+    SELECT vec_id, embedding, cell, c_emb FROM (
+      SELECT e.vec_id, e.embedding, c.cell, c.c_emb,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               CAST(ROUND(({_cos_sql('CAST(e.embedding AS DOUBLE[])',
+                                     'c.c_emb')}) * {SCALE}) AS BIGINT)
+               DESC, c.cell) AS crk
+      FROM embeddings e CROSS JOIN rseeds c) WHERE crk = 1),
+  resid AS (
+    SELECT vec_id, cell,
+           list_transform(generate_series(1, {_PQ_DIM}),
+                          i -> CAST(embedding[i] AS DOUBLE) - c_emb[i])
+             AS embedding
+    FROM rasg)
+"""
+
+
+@q("ann_ivfpq_codes", "WITH " + _RESID_SQL + "," + ",".join(
+    _pq_sub_sql(j, src="resid") for j in range(_PQ_M)) + f""",
+  allcodes AS ({" UNION ALL ".join(
+    f"SELECT vec_id, subspace, code, d2_6 FROM s{j}fin"
+    for j in range(_PQ_M))})
+  SELECT a.vec_id, CAST(r.cell AS BIGINT) AS cell,
+         a.subspace, a.code, a.d2_6
+  FROM allcodes a JOIN rasg r USING (vec_id)
+""")
+def ann_ivfpq_codes(spark, sf_dir):
+    """IVF-PQ residual encoding (simsearch.ivfpq_codes) — coarse cell
+    routing (the IVF family's cosine assignment over lowest-id seeds)
+    then product quantization of the RESIDUAL, the FAISS-style index
+    layout. The oracle re-derives the coarse assignment, the residual
+    subtraction and all four residual Lloyd chains in SQL; every
+    (cell, code, error) hash-matches. Registry + pytest + oracle
+    verified on demand; demoted from the driver window (see
+    __spark_entry__)."""
+    e = _read(spark, sf_dir, "embeddings")
+    return ss.ivfpq_codes(e, dim=_PQ_DIM, coarse_k=_IVFPQ_COARSE_K,
+                          m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)

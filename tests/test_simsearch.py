@@ -334,3 +334,59 @@ def test_pq_adc_recall_vs_exact(spark):
         c = cents[(j, codes[(cand, j)])]
         want += int(np.round(((qsub - c) ** 2).sum() * 1e6))
     assert sorted(got[0])[0][2] == want
+
+
+def test_ivfpq_matches_numpy_mirror(spark):
+    """IVF-PQ reproduces an independent numpy mirror bit-exactly:
+    cosine-argmax coarse routing over lowest-id seeds, residual
+    subtraction, then the per-subspace L2 Lloyd fit and encoding —
+    every (cell, code, d2_6) triple. (An aggregate residual-vs-plain
+    error claim is deliberately NOT asserted: with m*k cells matching
+    the cluster count, plain PQ can legitimately win — whether
+    residuals help depends on the coarse quantizer's fit.)"""
+    import numpy as np
+
+    from semlink.datapipe.simsearch import ivfpq_codes
+
+    rng = np.random.RandomState(21)
+    centers = rng.rand(8, 16) * 6
+    vecs = np.vstack([centers[i % 8] + rng.rand(16) * 0.4
+                      for i in range(120)])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, k, iters, dim, ck = 4, 8, 2, 16, 8
+    got = {(r.vec_id, r.subspace): (r.cell, r.code, r.d2_6)
+           for r in ivfpq_codes(df, dim=dim, coarse_k=ck, m=m, k=k,
+                                iters=iters).collect()}
+    # mirror: coarse cosine argmax over the ck lowest-id vectors
+    seeds = vecs[:ck]
+
+    def cos6(x, c):
+        return round(float(x @ c / (np.linalg.norm(x) * np.linalg.norm(c)))
+                     * 1e6)
+
+    cell_of = {}
+    resid = np.empty_like(vecs)
+    for i, v in enumerate(vecs):
+        cell = max(range(ck), key=lambda c: (cos6(v, seeds[c]), -c))
+        cell_of[i] = cell
+        resid[i] = v - seeds[cell]
+    s_ = dim // m
+    for j in range(m):
+        sub = resid[:, j * s_:(j + 1) * s_]
+        cents = {c: sub[c].copy() for c in range(k)}
+        for _ in range(iters):
+            d2 = {c: np.round(((sub - cents[c][None, :]) ** 2).sum(axis=1)
+                              * 1e6) for c in range(k)}
+            assign = np.array([min(range(k), key=lambda c: (d2[c][i], c))
+                               for i in range(len(sub))])
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = (np.round(sub[mask] * 1e6).sum(axis=0)
+                                / mask.sum() / 1e6)
+        d2 = {c: np.round(((sub - cents[c][None, :]) ** 2).sum(axis=1)
+                          * 1e6) for c in range(k)}
+        for i in range(len(sub)):
+            code = min(range(k), key=lambda c: (d2[c][i], c))
+            assert got[(i, j)] == (cell_of[i], code, int(d2[code][i])), (i, j)
