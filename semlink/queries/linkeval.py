@@ -125,7 +125,14 @@ def _records(spark, sf_dir):
         .otherwise(F.col("bal_cents")).alias("bal_cents"),
         F.when(ck % _NAT_MOD == 0, (F.col("nat") + 1) % 25)
         .otherwise(F.col("nat")).alias("nat"))
-    return orig.unionByName(dup)
+    # Spread the record table over the cluster BEFORE the quadratic
+    # block join: the customer scan is a single input split at bench
+    # scale, so without this every within-block pair (and its
+    # levenshtein) is generated by 1-2 tasks (guide §2.5 input skew /
+    # §6 input split size). The linear-table round-robin shuffle is
+    # negligible against the C(block,2) fan-out it parallelizes.
+    return orig.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 def _labeled_pairs(spark, sf_dir):
@@ -136,7 +143,10 @@ def _labeled_pairs(spark, sf_dir):
                         carry_cols=("ent_id", "name", "seg", "bal_cents"))
     return recs, pairs.select(
         "rec_l", "rec_r",
-        (F.levenshtein("name_l", "name_r") <= _LEV_MAX).cast("bigint")
+        # banded levenshtein: the threshold arg bounds the DP to a
+        # 2k+1 band and early-exits on length gaps (guide §1.2 item 2
+        # per-task work); d <= k  <=>  levenshtein(a, b, k) >= 0
+        (F.levenshtein("name_l", "name_r", _LEV_MAX) >= 0).cast("bigint")
         .alias("f_name"),
         (F.col("seg_l") == F.col("seg_r")).cast("bigint").alias("f_seg"),
         (F.col("bal_cents_l") == F.col("bal_cents_r")).cast("bigint")
@@ -252,9 +262,13 @@ def rl_fellegi_sunter(spark, sf_dir):
     # Laplace m/u and the label-marginalized EM fit, so the only other
     # job is the final per-pair scoring. The driver-side Laplace
     # division reproduces fs_estimate_weights / the oracle's
-    # CAST(..)/CAST(..) bit-for-bit (exact integers, one IEEE divide);
-    # an eager materialization of the pair table was measured SLOWER
-    # than recomputing the blocking join (28-30 s vs 26 s at sf0.1).
+    # CAST(..)/CAST(..) bit-for-bit (exact integers, one IEEE divide).
+    # localCheckpoint (not a parquet materialization, which round 5
+    # measured slower) computes the pair table once and serves both
+    # the histogram action and the scoring pass from memory — the
+    # blocking join + banded levenshtein no longer run twice
+    # (guide §5 caching: reused AND expensive to recompute).
+    lab = lab.localCheckpoint(eager=True)
     hrows = (lab.groupBy(*[F.col(f) for f in _FIELDS], "is_match")
              .agg(F.count(F.lit(1)).alias("c")).collect())
     nm = sum(r["c"] for r in hrows if r["is_match"] == 1)
@@ -417,7 +431,7 @@ _MR_SCORE = f"CAST({_MR_TERMS} AS BIGINT)"
 def _mr_score_col():
     """Spark mirror of _MR_TERMS as a BIGINT agreement count — shared
     by every entry that ranks or gates on the 2-of-3 rule."""
-    return ((F.levenshtein("name_l", "name_r") <= _MR_LEV).cast("int")
+    return ((F.levenshtein("name_l", "name_r", _MR_LEV) >= 0).cast("int")
             + (F.col("seg_l") == F.col("seg_r")).cast("int")
             + (F.abs(F.col("bal_cents_l") - F.col("bal_cents_r"))
                <= _MR_BAL).cast("int")).cast("bigint")
