@@ -216,11 +216,18 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 8, iters: int = 4,
     spark = embeddings.sparkSession
     cur = seed_centroids(embeddings, k, id_col, emb_col)
     cents = {r["cell"]: list(r["c_emb"]) for r in cur.collect()}
+    # every Lloyd iteration re-reads the full vector table — cache it
+    # once at cluster parallelism (the scan is one input split at
+    # bench scale) instead of re-running scan + projection per
+    # iteration (round-6 optimization; guide §5 caching)
+    base = (embeddings.select(id_col, emb_col)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True))
     e6 = F.lit(1_000_000.0)
     for _ in range(iters):
         cent_df = spark.createDataFrame(
             sorted(cents.items()), "cell int, c_emb array<double>")
-        a = assign_cells(embeddings.select(id_col, emb_col), cent_df,
+        a = assign_cells(base, cent_df,
                          id_col, nprobe=1, emb_col=emb_col)
         upd = (a.select("cell", F.posexplode(emb_col).alias("pos", "x"))
                .groupBy("cell", "pos")
@@ -353,45 +360,20 @@ def l2sq_expr(a: str, b: str) -> Column:
     return ip(a, a) - 2 * ip(a, b) + ip(b, b)
 
 
-def _kmeans_l2(sub: DataFrame, k: int, iters: int,
-               id_col: str) -> DataFrame:
-    """Lloyd k-means on a (id, semb) subvector table under SQUARED-L2
-    assignment (PQ's reconstruction-error criterion — cosine ignores
-    magnitude) with the kmeans_centroids determinism discipline:
-    k lowest-id seeds, scaled-bigint distance rank (ties cell asc),
-    scaled-bigint mean update, empty cells carry over, centroids
-    re-literalized per iteration (hard lineage cut)."""
-    spark = sub.sparkSession
-    w = Window.orderBy(id_col)
-    cur = (sub.orderBy(id_col).limit(k)
-           .select((F.row_number().over(w) - 1).alias("cell"),
-                   F.transform("semb", lambda x: x.cast("double"))
-                   .alias("c_emb")))
-    cents = {r["cell"]: list(r["c_emb"]) for r in cur.collect()}
-    e6 = F.lit(1_000_000.0)
-    for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            sorted(cents.items()), "cell int, c_emb array<double>")
-        d26 = F.round(l2sq_expr("semb", "c_emb") * 1_000_000).cast("bigint")
-        wr = Window.partitionBy(id_col).orderBy(F.asc("_d26"), F.asc("cell"))
-        a = (sub.crossJoin(F.broadcast(cent_df))
-             .withColumn("_d26", d26)
-             .withColumn("_rk", F.row_number().over(wr))
-             .filter(F.col("_rk") == 1))
-        upd = (a.select("cell", F.posexplode("semb").alias("pos", "x"))
-               .groupBy("cell", "pos")
-               .agg(F.sum(F.round(F.col("x").cast("double") * e6)
-                          .cast("bigint")).alias("s"),
-                    F.count(F.lit(1)).alias("n"))
-               .withColumn("m", F.col("s").cast("double") / F.col("n") / e6)
-               .groupBy("cell")
-               .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                    .alias("pm"))
-               .select("cell", F.col("pm.m").alias("c_emb")))
-        for r in upd.collect():
-            cents[r["cell"]] = list(r["c_emb"])
-    return spark.createDataFrame(
-        sorted(cents.items()), "cell int, c_emb array<double>")
+def _pq_subvectors(embeddings: DataFrame, dim: int, m: int,
+                   id_col: str, emb_col: str) -> DataFrame:
+    """(id, subspace, semb): every vector exploded into its m
+    contiguous subvectors — the shared input shape of the codebook
+    fit, the encoder and the ADC query side."""
+    s = dim // m
+    return embeddings.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(0, {m - 1}), "
+            f"j -> struct(j as subspace, "
+            f"slice({emb_col}, j * {s} + 1, {s}) as semb))")).alias("b")
+    ).select(id_col, F.col("b.subspace").alias("subspace"),
+             F.col("b.semb").alias("semb"))
 
 
 def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 4, k: int = 8,
@@ -403,24 +385,64 @@ def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 4, k: int = 8,
     encode k^m effective cells, the standard memory-bound ANN
     compressor. Returns (subspace, cell, c_emb).
 
-    Scale shape: per subspace the SAME distributed Lloyd as the IVF
-    coarse quantizer (broadcast-crossJoin assignment, map-side-
-    combined scaled-bigint mean update; only m·k·(dim/m) centroid
-    doubles ever reach the driver). The driver loop over m is bounded
-    and each subspace's job is independent."""
+    All m subspace Lloyd chains run JOINTLY, one Spark action per
+    iteration over the (id, subspace, semb) exploded table keyed by
+    subspace — subspaces never interact, so the per-(subspace, cell,
+    pos) scaled-bigint partial sums are bit-identical to m separate
+    runs, while the driver issues 1 + iters actions instead of
+    m·(1 + iters) (round-6 optimization; guide §1.2 item 1 — fewer
+    passes). The exploded table is repartitioned to cluster
+    parallelism (the embeddings scan is one input split at bench
+    scale) and localCheckpointed so each iteration re-reads cached
+    subvectors instead of re-running the scan + explode. Only the
+    m·k·(dim/m) centroid doubles ever reach the driver.
+
+    Determinism discipline unchanged: k lowest-id seeds per subspace,
+    scaled-bigint distance rank (ties cell asc), scaled-bigint mean
+    update, empty cells carry over, centroids re-literalized per
+    iteration (hard lineage cut)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    s = dim // m
     spark = embeddings.sparkSession
-    out = None
-    for j in range(m):
-        sub = embeddings.select(
-            F.col(id_col),
-            F.slice(F.col(emb_col), j * s + 1, s).alias("semb"))
-        cb = (_kmeans_l2(sub, k, iters, id_col)
-              .withColumn("subspace", F.lit(j)))
-        out = cb if out is None else out.unionByName(cb)
-    return out.select("subspace", "cell", "c_emb")
+    sub = (_pq_subvectors(embeddings, dim, m, id_col, emb_col)
+           .repartition(spark.sparkContext.defaultParallelism)
+           .localCheckpoint(eager=True))
+    ws = Window.partitionBy("subspace").orderBy(id_col)
+    cur = (sub.withColumn("_rk", F.row_number().over(ws))
+           .filter(F.col("_rk") <= k)
+           .select("subspace", (F.col("_rk") - 1).alias("cell"),
+                   F.transform("semb", lambda x: x.cast("double"))
+                   .alias("c_emb")))
+    cents = {(r["subspace"], r["cell"]): list(r["c_emb"])
+             for r in cur.collect()}
+    e6 = F.lit(1_000_000.0)
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(sp, c, v) for (sp, c), v in sorted(cents.items())],
+            "subspace int, cell int, c_emb array<double>")
+        d26 = F.round(l2sq_expr("semb", "c_emb") * 1_000_000).cast("bigint")
+        wr = Window.partitionBy(id_col, "subspace").orderBy(
+            F.asc("_d26"), F.asc("cell"))
+        a = (sub.join(F.broadcast(cent_df), "subspace")
+             .withColumn("_d26", d26)
+             .withColumn("_rk", F.row_number().over(wr))
+             .filter(F.col("_rk") == 1))
+        upd = (a.select("subspace", "cell",
+                        F.posexplode("semb").alias("pos", "x"))
+               .groupBy("subspace", "cell", "pos")
+               .agg(F.sum(F.round(F.col("x").cast("double") * e6)
+                          .cast("bigint")).alias("s"),
+                    F.count(F.lit(1)).alias("n"))
+               .withColumn("m", F.col("s").cast("double") / F.col("n") / e6)
+               .groupBy("subspace", "cell")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                    .alias("pm"))
+               .select("subspace", "cell", F.col("pm.m").alias("c_emb")))
+        for r in upd.collect():
+            cents[(r["subspace"], r["cell"])] = list(r["c_emb"])
+    return spark.createDataFrame(
+        [(sp, c, v) for (sp, c), v in sorted(cents.items())],
+        "subspace int, cell int, c_emb array<double>")
 
 
 def pq_codes(embeddings: DataFrame, codebooks: DataFrame, dim: int,
@@ -432,15 +454,7 @@ def pq_codes(embeddings: DataFrame, codebooks: DataFrame, dim: int,
     keyed by (vector, subspace). Output (vec_id, subspace, code,
     d2_6); Σ d2_6 over subspaces is the vector's total reconstruction
     error (subspace squared errors are additive)."""
-    s = dim // m
-    sub = embeddings.select(
-        F.col(id_col),
-        F.explode(F.expr(
-            f"transform(sequence(0, {m - 1}), "
-            f"j -> struct(j as subspace, "
-            f"slice({emb_col}, j * {s} + 1, {s}) as semb))")).alias("b")
-    ).select(id_col, F.col("b.subspace").alias("subspace"),
-             F.col("b.semb").alias("semb"))
+    sub = _pq_subvectors(embeddings, dim, m, id_col, emb_col)
     d26 = F.round(l2sq_expr("semb", "c_emb") * 1_000_000).cast("bigint")
     w = Window.partitionBy(id_col, "subspace").orderBy(
         F.asc("_d26"), F.asc("cell"))
@@ -516,14 +530,22 @@ def ivfpq_codes(embeddings: DataFrame, dim: int, coarse_k: int = 8,
     existing broadcast scan; the residual is one zip_with subtract;
     codebooks/codes reuse the PQ machinery verbatim on the residual
     table."""
+    spark = embeddings.sparkSession
     cents = seed_centroids(embeddings, coarse_k, id_col, emb_col)
     a = assign_cells(embeddings.select(id_col, emb_col), cents, id_col,
                      nprobe=1, emb_col=emb_col)
+    # the residual table feeds the codebook fit (1 + iters actions),
+    # the encoder AND the final cell join — materialize it ONCE at
+    # cluster parallelism instead of re-running the coarse
+    # crossJoin-assignment window for every downstream action
+    # (round-6 optimization; guide §5 caching / §1.2 fewer passes)
     resid = (a.join(F.broadcast(cents), "cell")
              .select(F.col(id_col), "cell",
                      F.zip_with(emb_col, "c_emb",
                                 lambda x, c: x.cast("double") - c)
-                     .alias("residual")))
+                     .alias("residual"))
+             .repartition(spark.sparkContext.defaultParallelism)
+             .localCheckpoint(eager=True))
     cb = pq_codebooks(resid.select(id_col, F.col("residual")
                                    .alias(emb_col)),
                       dim=dim, m=m, k=k, iters=iters, id_col=id_col)
