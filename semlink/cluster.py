@@ -142,10 +142,29 @@ def run_connected_components(
     spark = edges.sparkSession
     ckpt = ckpt_dir or cfg.checkpoint_dir
     io = TableIO(fmt=cfg.table_format, root=ckpt)
+    # durable table commits whenever the caller relies on the resume
+    # protocol; otherwise the configured cut (default: localCheckpoint,
+    # which skips the per-superstep parquet write+read round trip)
+    durable = (resume or stop_after_step is not None
+               or getattr(cfg, "cc_checkpoint", "table") == "table")
+
+    def cut(df: DataFrame, name: str) -> DataFrame:
+        if durable:
+            return io.checkpoint(df, name)
+        return df.localCheckpoint(eager=True)
 
     start = 0
-    if not resume and os.path.isdir(ckpt) and io.fmt == "parquet":
+    if durable and not resume and os.path.isdir(ckpt) and io.fmt == "parquet":
         shutil.rmtree(ckpt, ignore_errors=True)
+
+    if not durable:
+        # the edge relation is consumed by TWO separate actions below
+        # (node-set distinct, then the encode join) — cut it once so an
+        # expensive upstream lineage (LSH chain, scored pair table)
+        # isn't evaluated twice (guide §5 caching; round-6 measurement:
+        # dedup_near_dup_clusters re-ran its whole LSH+Jaccard chain
+        # inside CC). Durable mode keeps the legacy protocol untouched.
+        edges = edges.localCheckpoint(eager=True)
 
     # Node dictionary: mention_id strings → dense longs via rank over
     # the sorted distinct ids. Rank is monotone in the string order, so
@@ -166,9 +185,9 @@ def run_connected_components(
         # the shuffle itself), and each re-evaluation of the upstream
         # union+distinct costs a full pass over the edge relation —
         # ~5 s per pass at bench scale, O(|edges|) at any scale. One
-        # compact columnar table absorbs all downstream passes.
-        nodes = io.checkpoint(nodes, "nodes")
-        node_ids = io.checkpoint(_dense_rank_ids(nodes), "node_ids")
+        # compact materialized table absorbs all downstream passes.
+        nodes = cut(nodes, "nodes")
+        node_ids = cut(_dense_rank_ids(nodes), "node_ids")
 
     if resume and io.exists(spark, "edges_step_init"):
         cur = io.read(spark, "edges_step_init")
@@ -183,7 +202,7 @@ def run_connected_components(
         # materialize the encoded edge list once — every superstep
         # consumes its input twice (sym → groupBy + join), so an
         # unmaterialized encode would re-run its joins per consumption
-        cur = io.checkpoint(cur, "edges_step_init")
+        cur = cut(cur, "edges_step_init")
 
     if resume:
         step = _max_committed_step(spark, io, ckpt)
@@ -204,9 +223,14 @@ def run_connected_components(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"))
-        io.write(stepped, f"edges_step_{i}")          # atomic commit
+        if durable:
+            io.write(stepped, f"edges_step_{i}")      # atomic commit
+            cur = io.read(spark, f"edges_step_{i}")   # hard lineage cut
+        else:
+            # same single action + hard lineage cut, minus the parquet
+            # round trip (the observe fires on the checkpoint job)
+            cur = stepped.localCheckpoint(eager=True)
         ls.unpersist()
-        cur = io.read(spark, f"edges_step_{i}")       # hard lineage cut
         fp = (obs.get["n"], obs.get["h"])
         if fp == prev_fp:
             break

@@ -67,6 +67,15 @@ class SemlinkConfig:
     # --- clustering (SURVEY C2-C5) ---
     max_cc_iterations: int = 50
     checkpoint_dir: str = "/tmp/semlink_ckpt"
+    # Superstep lineage-cut mechanism: "local" (localCheckpoint — the
+    # fast path; blocks are executor-memory/disk and GC-managed) or
+    # "table" (durable TableIO parquet/Iceberg commits — the resumable
+    # north-rule protocol). run_connected_components FORCES "table"
+    # whenever resume/stop_after_step is requested, so the durable
+    # protocol is always in effect when a caller relies on it; "local"
+    # only changes where the per-superstep cut lives, never the
+    # labels (round-6 optimization; guide §5 localCheckpoint).
+    cc_checkpoint: str = "local"
 
     # --- IO ---
     table_format: str = "parquet"          # "iceberg" on a real cluster (io.py)

@@ -406,8 +406,16 @@ def resolve_senses(cands: DataFrame, relatedness: DataFrame,
         .join(ctx, "conv_id")
         .filter(F.col("ctx_mention") != F.col("mention_id"))
         .drop("ctx_mention")
-        .distinct()                      # one vote per distinct ctx entity
+        # join relatedness BEFORE the distinct: rel is unique per
+        # (e1, e2), so distinct∘join ≡ join∘distinct, and the inner
+        # join drops every (candidate, ctx) pair with no relatedness
+        # row before the distinct's exchange ever moves it — the
+        # conv_id fan-out is the widest intermediate of the whole
+        # link stage (guide §2.3 shuffle fewer bytes; round-6
+        # measurement: 2.3M fan-out rows → far fewer survive the join
+        # at bench scale)
         .join(rel, ["target_id", "ctx_entity"], "inner")
+        .distinct()                      # one vote per distinct ctx entity
         .groupBy("mention_id", "target_id")
         .agg(F.sum("rel").alias("ctx_rel"))
     )

@@ -66,6 +66,26 @@ def test_cc_resume_identical(spark, tmp_path):
     assert sorted(map(tuple, resumed.collect())) == full_rows
 
 
+def test_cc_local_checkpoint_equals_table(spark, tmp_path):
+    """The default fast lineage cut (cc_checkpoint='local') must
+    produce labels identical to the durable table-commit protocol —
+    the round-6 optimization changes WHERE the per-superstep cut
+    lives, never the labels."""
+    edges = _graphs()["chain"] + _graphs()["random"] + _graphs()["mixed"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    t = run_connected_components(
+        df, SemlinkConfig(cc_checkpoint="table"),
+        ckpt_dir=str(tmp_path / "tbl"))
+    loc = run_connected_components(
+        df, SemlinkConfig(cc_checkpoint="local"),
+        ckpt_dir=str(tmp_path / "loc"))
+    assert sorted(map(tuple, loc.collect())) == \
+        sorted(map(tuple, t.collect()))
+    # local mode must not have written any superstep tables
+    import os
+    assert not os.path.isdir(str(tmp_path / "loc"))
+
+
 def test_singletons_and_f1(spark, tmp_path):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     mentions = spark.createDataFrame(
@@ -147,7 +167,11 @@ def test_cc_path_graph_depth(spark, tmp_path):
         [(ids[i], ids[i + 1]) for i in range(n - 1)], "src string, dst string"
     ).repartition(8)
     ckpt = str(tmp_path / "cc_path")
-    cfg = SemlinkConfig(checkpoint_dir=ckpt)
+    # cc_checkpoint="table": this test additionally asserts the
+    # superstep-commit COUNT by listing the durable checkpoint dirs,
+    # so it pins the durable protocol explicitly (the default "local"
+    # mode cuts lineage via localCheckpoint and writes no dirs)
+    cfg = SemlinkConfig(checkpoint_dir=ckpt, cc_checkpoint="table")
     labels = run_connected_components(edges, cfg, ckpt_dir=ckpt)
     got = labels.agg(
         F.count(F.lit(1)).alias("n"),
