@@ -37,11 +37,34 @@ def _r6(col):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the documents table is one small scan split at bench
+    # scale, and nearly every consumer runs a compute-dense stage
+    # directly on the scan partitioning (shingle/n-gram explode, Arrow
+    # media decode, regex batteries) — see _spread
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _read(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism when the input
+    has fewer partitions — for compute-dense operators (n-gram
+    explodes, media decode, quadratic blocking joins) whose input is a
+    single small scan split at bench scale, which would otherwise run
+    the whole expensive stage on 1-2 tasks (guide §2.5 input skew /
+    §6 input split size). No-op when the scan already yields at least
+    cluster-parallelism splits (the at-scale case), so the narrow
+    input is never shuffled where real split parallelism exists."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= p:
+            return df
+    except Exception:
+        pass
+    return df.repartition(p)
 
 
 REGISTRY: dict[str, tuple] = {}

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from ..ngrams import explode_mentions, ngram_duckdb_sql
 from ..textnorm import (NORMALIZE_DUCKDB_SQL, normalize_expr,
                         soundex_duckdb_sql)
-from . import SCALE, _docs, _r6, _read, q
+from . import SCALE, _docs, _r6, _read, _spread, q
 
 
 _TOK_SQL = """
@@ -21,7 +21,9 @@ _TOK_SQL = """
   {ngram_duckdb_sql('documents', 'doc_id', 'text', 3)}
 """)
 def rl_ngram_explode(spark, sf_dir):
-    d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    # spread the single-split scan before the ~100x explode (guide
+    # §2.5/§6; round-6: the whole explode ran on 1 task)
+    d = _spread(_docs(spark, sf_dir)).withColumnRenamed("doc_id", "conv_id")
     m = explode_mentions(d, key_cols=("conv_id",), max_n=3)
     return m.select(F.col("conv_id").alias("doc_id"),
                     "span_start", "span_len", "ngram")
@@ -53,7 +55,7 @@ _DICT_SQL = f"""
 """
 
 def _spark_dict(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     toks = d.select(
         "doc_id", "source",
         F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), "")).alias("anchor_norm"))
@@ -96,7 +98,7 @@ def rl_link_top1(spark, sf_dir):
     top1 = (dict_df.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("anchor_norm", F.col("sense").alias("top_sense"), "prior6"))
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     toks = d.select(
         "doc_id",
         F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), "")).alias("token"))
@@ -123,7 +125,7 @@ _MENTIONS12_SQL = ngram_duckdb_sql("documents", "doc_id", "text", 2)
 """)
 def rl_largest_matching(spark, sf_dir):
     from ..linking import largest_matching_filter
-    d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "conv_id") \
+    d = _spread(_docs(spark, sf_dir)).withColumnRenamed("doc_id", "conv_id") \
         .withColumn("turn_idx", F.lit(0))
     m = explode_mentions(d, key_cols=("conv_id", "turn_idx"), max_n=2)
     dict_df = m.groupBy("ngram").agg(F.count("*").alias("c")) \
@@ -147,20 +149,26 @@ _PAIR_MENTIONS_SQL = f"""
   WHERE r.rk > l.rk AND r.rk - l.rk <= 3
 """)
 def rl_mention_pairs(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     m = (d.select("doc_id",
                   F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), ""))
                   .alias("token"))
          .distinct()
          .withColumn("rk", F.row_number().over(
              Window.partitionBy("token").orderBy("doc_id"))))
+    # banded EQUI join (the pairs.mention_pairs shape): the left side
+    # explodes its band offsets rk+1..rk+3 and joins on the exact right
+    # rank — a post-join band filter would materialize the full B×B
+    # cross product per token block (guide §3.3 exploding joins;
+    # round-6: this query spent its whole 7.7 s there). Identical pair
+    # set: rk_r ∈ (rk_l, rk_l+3] and both ranks exist in the block.
     l = m.select(F.col("token").alias("block_key"),
                  F.col("doc_id").alias("left_doc"), F.col("rk").alias("rk_l"))
     r = m.select(F.col("token").alias("block_key"),
                  F.col("doc_id").alias("right_doc"), F.col("rk").alias("rk_r"))
-    return (l.join(r, "block_key")
-            .filter((F.col("rk_r") > F.col("rk_l"))
-                    & (F.col("rk_r") - F.col("rk_l") <= 3))
+    l_band = l.withColumn(
+        "rk_r", F.explode(F.expr("sequence(rk_l + 1, rk_l + 3)")))
+    return (l_band.join(r, ["block_key", "rk_r"])
             .select("block_key", "left_doc", "right_doc"))
 
 
