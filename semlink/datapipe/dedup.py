@@ -169,10 +169,15 @@ def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id",
     """Candidate pairs sharing any (band, bucket); oversized buckets
     (degenerate content) are dropped and should be counted by the
     caller's metrics — the standard LSH skew guard."""
-    sized = buckets.groupBy("band", "bucket").agg(
-        F.count("*").alias("bn"))
-    ok = sized.filter(F.col("bn") <= max_bucket).select("band", "bucket")
-    b = buckets.join(ok, ["band", "bucket"], "left_semi")
+    # bucket-size cap via ONE window count on the join key instead of
+    # a groupBy + left-semi join: the capped table is produced by a
+    # single (band, bucket) exchange that BOTH sides of the self-join
+    # below then reuse (round-6; guide §2.4 two operations keyed the
+    # same way share one exchange)
+    from pyspark.sql import Window
+    b = (buckets.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")))
+         .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     l = b.select("band", "bucket", F.col(id_col).alias("left_id"))
     r = b.select("band", "bucket", F.col(id_col).alias("right_id"))
     return (l.join(r, ["band", "bucket"])

@@ -263,8 +263,15 @@ def cosine_near_dup_edges_ivf(embeddings: DataFrame, centroids: DataFrame,
     # in a long-lived session would accumulate cached partitions
     # (ADVICE r03); localCheckpointed blocks are GC-cleaned with the
     # DataFrame by the ContextCleaner.
+    # explicit numPartitions so AQE's byte-targeted coalescing cannot
+    # squash the small-byte but CPU-dense cell self-join below onto
+    # 1-2 tasks (round-6 A/B: global minPartitionSize tuning was a
+    # wash, an explicit keyed repartition here wins ~25%); keying by
+    # cell lets both join sides reuse the one exchange
+    spark = embeddings.sparkSession
     a = assign_cells(embeddings.select(id_col, emb_col), centroids,
                      id_col, nprobe=nprobe, emb_col=emb_col) \
+        .repartition(spark.sparkContext.defaultParallelism, "cell") \
         .localCheckpoint(eager=True)
     l = a.select(F.col(id_col).alias("query_id"),
                  F.col(emb_col).alias("q_emb"), "cell")

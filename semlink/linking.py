@@ -147,10 +147,16 @@ def anchor_first_words(anchors: DataFrame,
     fw = (anchors
           .select(F.split("anchor_norm", " ").getItem(0).alias("w"))
           .filter(F.col("w") != "").distinct())
-    n = anchors.select("anchor_norm").distinct().count()
-    if n > max_set_size:
+    # ONE bounded job decides the gate form AND fetches the set: a
+    # limit(max+1) collect is complete whenever it returns <= max rows.
+    # The InSet compilation bound is the FIRST-WORD set size (what the
+    # literal list holds), so sizing on it rather than on the distinct
+    # anchor count is both cheaper (no separate full-distinct count
+    # job per link call) and the tighter criterion (round-6).
+    rows = fw.limit(max_set_size + 1).collect()
+    if len(rows) > max_set_size:
         return fw
-    return [r.w for r in fw.collect()]
+    return [r.w for r in rows]
 
 
 # ------------------------------------------------------------ dictionary probs

@@ -40,11 +40,24 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # NOTE (round 6, measured negative result): lowering
+        # spark.sql.adaptive.coalescePartitions.minPartitionSize to
+        # 64k to spread CPU-dense small-byte shuffles was A/B'd and
+        # is a net wash — it buys ~0.9 s on the IVF cell self-join but
+        # costs comparable task-scheduling overhead on multi-stage
+        # small queries (rl_golden_record +0.4 s, rl_meta_blocking
+        # +0.5-2 s). CPU-dense operators that need guaranteed fan-out
+        # use an explicit repartition instead (queries._spread,
+        # cosine_near_dup_edges_ivf).
         # Arrow transport for the two pandas-UDF kernels (SURVEY §2.7)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # keep the driver lean; we never collect anything big
-        .config("spark.driver.memory", os.environ.get("SEMLINK_DRIVER_MEM", "8g"))
+        # keep the driver lean; we never collect anything big. In
+        # local[N] the driver JVM IS the executor (N task threads +
+        # Arrow batches + localCheckpoint blocks share one heap), so
+        # size it for that; a real cluster sizes executors separately
+        # and overrides via spark-submit (sandbox: 128 GiB host).
+        .config("spark.driver.memory", os.environ.get("SEMLINK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
