@@ -50,10 +50,20 @@ def pagerank(edges: DataFrame, iters: int = 3,
     join shape that way); real runs keep the per-superstep cut."""
     e = edges.select(F.col(src_col).alias("src_id"),
                      F.col(dst_col).alias("dst_id")).distinct()
+    if checkpoint:
+        # every iteration's superstep cut re-evaluates its inputs: cut
+        # the distinct edge set, node set and out-degree table ONCE so
+        # K iterations re-read three cached tables instead of
+        # re-running the upstream distinct/groupBy K times each
+        # (round-6; guide §5 caching)
+        e = e.localCheckpoint(eager=True)
     nodes = (e.select(F.col("src_id").alias("id"))
              .union(e.select(F.col("dst_id").alias("id"))).distinct())
     outd = e.groupBy("src_id").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg"))
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+        outd = outd.localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
     r = (nodes.crossJoin(nn)
          .select("id", F.expr(f"{SCALE9} div n").alias("pr9")))

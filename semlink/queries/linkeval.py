@@ -125,21 +125,24 @@ def _records(spark, sf_dir):
         .otherwise(F.col("bal_cents")).alias("bal_cents"),
         F.when(ck % _NAT_MOD == 0, (F.col("nat") + 1) % 25)
         .otherwise(F.col("nat")).alias("nat"))
-    # Spread the record table over the cluster BEFORE the quadratic
-    # block join: the customer scan is a single input split at bench
-    # scale, so without this every within-block pair (and its
-    # levenshtein) is generated by 1-2 tasks (guide §2.5 input skew /
-    # §6 input split size). The linear-table round-robin shuffle is
-    # negligible against the C(block,2) fan-out it parallelizes.
-    return orig.unionByName(dup).repartition(
-        spark.sparkContext.defaultParallelism)
+    return orig.unionByName(dup)
 
 
 def _labeled_pairs(spark, sf_dir):
     """Within-nation candidate pairs with the three binary comparison
     fields and the by-construction entity label."""
+    # Spread the record table over the cluster BEFORE the quadratic
+    # block join: the customer scan is a single input split at bench
+    # scale, so without this every within-block pair (and its banded
+    # levenshtein) is generated by 1-2 tasks (guide §2.5 input skew /
+    # §6 input split size; round-6 A/B: 15.8 s -> 2.2 s for
+    # rl_fellegi_sunter). Applied HERE and not in _records: the
+    # per-record consumers (golden records, cluster metrics) are
+    # count/rank-cheap and only pay the extra shuffle (A/B'd +0.4-0.8 s
+    # each).
     recs = _records(spark, sf_dir)
-    pairs = block_pairs(recs, "nat",
+    spread = recs.repartition(spark.sparkContext.defaultParallelism)
+    pairs = block_pairs(spread, "nat",
                         carry_cols=("ent_id", "name", "seg", "bal_cents"))
     return recs, pairs.select(
         "rec_l", "rec_r",
