@@ -125,6 +125,47 @@ def _dense_rank_ids(nodes: DataFrame, num_parts: int | None = None,
     return node_ids
 
 
+def _local_union_find(edges: DataFrame) -> DataFrame:
+    """Exact CC labels for a BOUNDED edge set: union-find with path
+    compression on the driver, labels = min member id. Identical to
+    the superstep result — min-member labeling is a property of the
+    components, not the algorithm; Python's str ordering equals
+    Spark's UTF8 binary ordering for the ASCII ids this engine mints
+    (module docstring). Only reachable through the size-gated fast
+    path in run_connected_components."""
+    from pyspark.sql.types import StructField, StructType
+    spark = edges.sparkSession
+    src_t = edges.schema["src"].dataType
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.select("src", "dst").collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in label or node < label[r]:
+            label[r] = node
+    out = [(n, label[find(n)]) for n in parent]
+    schema = StructType([StructField("mention_id", src_t),
+                         StructField("cluster_id", src_t)])
+    return spark.createDataFrame(out, schema)
+
+
 def run_connected_components(
     edges: DataFrame,
     cfg: SemlinkConfig = DEFAULT,
@@ -165,6 +206,16 @@ def run_connected_components(
         # dedup_near_dup_clusters re-ran its whole LSH+Jaccard chain
         # inside CC). Durable mode keeps the legacy protocol untouched.
         edges = edges.localCheckpoint(eager=True)
+        # Small-graph finishing step (round 6): min-member component
+        # labels are algorithm-independent, so a graph whose
+        # materialized edge set is broadcast-threshold-sized gets them
+        # from a bounded driver union-find instead of ~15 jobs of
+        # superstep machinery. Identity with the superstep path is
+        # pinned by tests (local==table on mixed graphs); the count is
+        # one action over the checkpoint just taken.
+        cap = getattr(cfg, "cc_local_fastpath_edges", 0)
+        if cap and edges.count() <= cap:
+            return _local_union_find(edges)
 
     # Node dictionary: mention_id strings → dense longs via rank over
     # the sorted distinct ids. Rank is monotone in the string order, so

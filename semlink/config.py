@@ -76,6 +76,14 @@ class SemlinkConfig:
     # only changes where the per-superstep cut lives, never the
     # labels (round-6 optimization; guide §5 localCheckpoint).
     cc_checkpoint: str = "local"
+    # Small-graph finishing step: when the materialized edge set is at
+    # most this many rows, labels come from a driver union-find (same
+    # min-member labels, bit-identical — pinned by test) instead of
+    # paying ~6 s of superstep machinery for a kilobyte graph. The
+    # bound keeps driver work broadcast-threshold-sized (64k edges is
+    # a few MB); 0 disables. Durable/resume runs always take the
+    # superstep path.
+    cc_local_fastpath_edges: int = 65_536
 
     # --- IO ---
     table_format: str = "parquet"          # "iceberg" on a real cluster (io.py)

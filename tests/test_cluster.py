@@ -84,6 +84,13 @@ def test_cc_local_checkpoint_equals_table(spark, tmp_path):
     # local mode must not have written any superstep tables
     import os
     assert not os.path.isdir(str(tmp_path / "loc"))
+    # and the size-gated union-find fast path must equal the local
+    # SUPERSTEP path too (cap=0 disables the fast path)
+    steps = run_connected_components(
+        df, SemlinkConfig(cc_checkpoint="local", cc_local_fastpath_edges=0),
+        ckpt_dir=str(tmp_path / "loc0"))
+    assert sorted(map(tuple, steps.collect())) == \
+        sorted(map(tuple, loc.collect()))
 
 
 def test_singletons_and_f1(spark, tmp_path):
