@@ -102,17 +102,36 @@ def pair_score_udf(ngram_l: pd.Series, ngram_r: pd.Series,
     are what BENCH measures as the vectorized-kernel hot path.
     """
     import numpy as np
-    jw = jaro_winkler_batch(ngram_l, ngram_r)
-    lev = levenshtein_batch(ngram_l, ngram_r).astype("float64")
-    max_len = np.maximum(
-        ngram_l.fillna("").str.len().to_numpy(),
-        ngram_r.fillna("").str.len().to_numpy()).clip(min=1)
-    lev_sim = 1.0 - lev / max_len
+    # Kernel-input reduction (round 6), result bit-identical:
+    # - the same-sense indicator MULTIPLIES the whole sum, so the DP
+    #   kernels are only evaluated where it is nonzero (cross-sense
+    #   block negatives score exactly 0.0 either way);
+    # - within a block most same-sense pairs share identical surface
+    #   strings, so the kernels run once per DISTINCT (l, r) string
+    #   pair per batch and results scatter back (the kernels are pure
+    #   functions of the strings, so gather == recompute).
+    ind = same_sense.to_numpy().astype("float64")
+    n = len(ind)
+    jw = np.zeros(n)
+    lev_sim = np.zeros(n)
+    m = ind != 0.0
+    if m.any():
+        am = ngram_l[m].fillna("")
+        bm = ngram_r[m].fillna("")
+        codes, _u = pd.factorize(am.str.cat(bm, sep="\x00"))
+        _ucodes, first = np.unique(codes, return_index=True)
+        ua, ub = am.iloc[first], bm.iloc[first]
+        jw_u = jaro_winkler_batch(ua, ub)
+        lev_u = levenshtein_batch(ua, ub).astype("float64")
+        max_len_u = np.maximum(
+            ua.str.len().to_numpy(),
+            ub.str.len().to_numpy()).clip(min=1)
+        jw[m] = jw_u[codes]
+        lev_sim[m] = (1.0 - lev_u / max_len_u)[codes]
     commonness = np.sqrt(
         prior_l.to_numpy() * prior_r.to_numpy()
         * np.minimum(1.0, sense_prob_l.to_numpy() + sense_prob_r.to_numpy()))
-    s = same_sense.to_numpy().astype("float64") * (
-        0.55 + 0.25 * jw + 0.10 * lev_sim + 0.10 * commonness)
+    s = ind * (0.55 + 0.25 * jw + 0.10 * lev_sim + 0.10 * commonness)
     return pd.Series(s)
 
 
