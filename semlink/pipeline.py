@@ -43,8 +43,16 @@ def run_pipeline(
     # set BEFORE the explode, not inherited from the input file splits
     # (a few compact parquet files would otherwise serialize the whole
     # link stage onto 1-2 tasks — measured 1.2× instead of 4× scaling).
+    # Keyed by the explode's window key rather than round-robin: the
+    # posexplode preserves the hash partitioning, so the lead-window
+    # inside explode_mentions reuses this exchange instead of
+    # re-shuffling the full exploded TOKEN stream (round-6 plan
+    # evidence: generate_mentions 2 Exchange -> 1; guide §2.4 — the
+    # shuffle that disappears is ~token-count-sized, the one that
+    # remains is the turn-count-sized input).
     if transcripts.rdd.getNumPartitions() < cfg.shuffle_partitions:
-        transcripts = transcripts.repartition(cfg.shuffle_partitions)
+        transcripts = transcripts.repartition(
+            cfg.shuffle_partitions, "conv_id", "turn_idx")
 
     with mc.stage("link"):
         resolved = link_transcripts(transcripts, anchors, page_links, cfg)

@@ -48,7 +48,7 @@ def _read(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Round-robin repartition to cluster parallelism when the input
     has fewer partitions — for compute-dense operators (n-gram
     explodes, media decode, quadratic blocking joins) whose input is a
@@ -56,9 +56,17 @@ def _spread(df: DataFrame) -> DataFrame:
     the whole expensive stage on 1-2 tasks (guide §2.5 input skew /
     §6 input split size). No-op when the scan already yields at least
     cluster-parallelism splits (the at-scale case), so the narrow
-    input is never shuffled where real split parallelism exists."""
+    input is never shuffled where real split parallelism exists.
+
+    ``cols`` switches to a KEYED repartition — used when a downstream
+    window partitions by those columns, so the window reuses this one
+    exchange instead of re-shuffling its (much larger) exploded input
+    (guide §2.4; adjacent repartitions collapse, so layering this on
+    an already-_spread input still costs one exchange)."""
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
+    if cols:
+        return df.repartition(p, *cols)
     try:
         if df.rdd.getNumPartitions() >= p:
             return df

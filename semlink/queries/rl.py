@@ -21,9 +21,11 @@ _TOK_SQL = """
   {ngram_duckdb_sql('documents', 'doc_id', 'text', 3)}
 """)
 def rl_ngram_explode(spark, sf_dir):
-    # spread the single-split scan before the ~100x explode (guide
-    # §2.5/§6; round-6: the whole explode ran on 1 task)
-    d = _spread(_docs(spark, sf_dir)).withColumnRenamed("doc_id", "conv_id")
+    # keyed spread: the explode's lead-window partitions by conv_id,
+    # so one doc_id-keyed exchange serves both parallelism and the
+    # window (2 Exchange -> 1; guide §2.4/§2.5)
+    d = _spread(_docs(spark, sf_dir), "doc_id") \
+        .withColumnRenamed("doc_id", "conv_id")
     m = explode_mentions(d, key_cols=("conv_id",), max_n=3)
     return m.select(F.col("conv_id").alias("doc_id"),
                     "span_start", "span_len", "ngram")
@@ -125,7 +127,8 @@ _MENTIONS12_SQL = ngram_duckdb_sql("documents", "doc_id", "text", 2)
 """)
 def rl_largest_matching(spark, sf_dir):
     from ..linking import largest_matching_filter
-    d = _spread(_docs(spark, sf_dir)).withColumnRenamed("doc_id", "conv_id") \
+    d = _spread(_docs(spark, sf_dir), "doc_id") \
+        .withColumnRenamed("doc_id", "conv_id") \
         .withColumn("turn_idx", F.lit(0))
     m = explode_mentions(d, key_cols=("conv_id", "turn_idx"), max_n=2)
     dict_df = m.groupBy("ngram").agg(F.count("*").alias("c")) \
