@@ -191,8 +191,13 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame,
     """Exact shingle-Jaccard for candidate pairs (the verify step after
     LSH). Lambda-free exploded shingles (distinct per doc) + join on
     shingle, then |∩| / (|A|+|B|-|∩|)."""
+    # the distinct shingle table is consumed THREE times (both sides
+    # of the intersection join + the size table) — cut it once so the
+    # shingle explode + distinct doesn't run per consumer (round-6;
+    # guide §5 caching)
     sh = (shingles_exploded(df, id_col, text_col, n)
-          .withColumnRenamed(id_col, "_id").distinct())
+          .withColumnRenamed(id_col, "_id").distinct()
+          .localCheckpoint(eager=True))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ex = sh
     inter = (pairs

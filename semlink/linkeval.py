@@ -208,10 +208,14 @@ def meta_blocking_pairs(blocks: DataFrame, rec_id_col: str = "rec_id",
     Returns one row per candidate edge: (rec_l, rec_r, cbs, bl_l,
     bl_r, js6, ecbs6, kept) with the scaled-bigint float convention
     on the real-valued weights."""
-    sized = (blocks.groupBy("bkey")
-             .agg(F.count(F.lit(1)).alias("_bn")))
-    ok = sized.filter(F.col("_bn") <= max_block).select("bkey")
-    kept_blocks = blocks.join(ok, "bkey", "left_semi")
+    # purge via ONE window count on the join key (the LSH cap shape) and
+    # cut the kept-block table once: it is consumed by FOUR subplans
+    # (bl, nb, both self-join sides), each of which would otherwise
+    # re-run the scheme union + purge (round-6; guide §2.4/§5)
+    kept_blocks = (blocks.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("bkey")))
+        .filter(F.col("_bn") <= max_block).drop("_bn")
+        .localCheckpoint(eager=True))
     bl = kept_blocks.groupBy(rec_id_col).agg(
         F.count(F.lit(1)).alias("_bl"))
     nb = kept_blocks.select(F.count_distinct("bkey").alias("_nb"))
