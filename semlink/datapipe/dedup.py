@@ -265,10 +265,13 @@ def setsim_join_pairs(df: DataFrame, id_col: str = "doc_id",
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     w_pos = Window.partitionBy(id_col).orderBy("_df", "s")
     w_sz = Window.partitionBy(id_col)
+    # the canonically-ordered table feeds the prefix filter (both join
+    # sides) AND the verify fan-out — cut it once (round-6; guide §5)
     ordered = (sh.join(dfreq, "s")
                .select(F.col(id_col), "s",
                        F.row_number().over(w_pos).cast("long").alias("pos"),
-                       F.count(F.lit(1)).over(w_sz).alias("sz")))
+                       F.count(F.lit(1)).over(w_sz).alias("sz"))
+               .localCheckpoint(eager=True))
     prefix_len = F.expr(
         f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1")
     pref = ordered.filter(F.col("pos") <= prefix_len)
@@ -422,9 +425,14 @@ def containment_dedup(df: DataFrame, id_col: str = "doc_id",
     base = df.select(F.col(id_col).alias("_id"),
                      F.concat_ws(" ", toks).alias("norm"),
                      F.size(toks).alias("tc"))
+    # nd feeds the shingle table, the eligibility gate and both verify
+    # joins; sh feeds the frequency table, the probe AND the candidate
+    # join — cut each once (round-6; guide §5)
     nd = (base.groupBy("norm")
-          .agg(F.min("_id").alias("_id"), F.min("tc").alias("tc")))
-    sh = shingles_exploded(nd, "_id", "norm", shingle_n).distinct()
+          .agg(F.min("_id").alias("_id"), F.min("tc").alias("tc"))
+          .localCheckpoint(eager=True))
+    sh = (shingles_exploded(nd, "_id", "norm", shingle_n).distinct()
+          .localCheckpoint(eager=True))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     eligible = nd.filter(F.col("tc") >= shingle_n)
     w = Window.partitionBy("_id").orderBy("_df", "s")
