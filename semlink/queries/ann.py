@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..datapipe import simsearch as ss
-from . import SCALE, _docs, _r6, _read, q
+from . import SCALE, _docs, _r6, _read, _spread, q
 
 
 _COSINE_SQL = """
@@ -27,7 +27,7 @@ _COSINE_SQL = """
   WHERE rk <= 5
 """)
 def ann_brute_force_topk(spark, sf_dir):
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     q_ = (e.filter(F.col("vec_id") < 25)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("q_emb")))
@@ -78,7 +78,7 @@ def ann_ivf_cell_topk(spark, sf_dir):
     """Real IVF: deterministic seed centroids (k lowest-id vectors),
     cosine argmax cell assignment, then cell-restricted search — the
     whole index path is oracle-verified, not a fixture-label stand-in."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     cents = ss.seed_centroids(e, k=_IVF_K)
     a = ss.assign_cells(e.select("vec_id", "embedding"), cents, "vec_id",
                         nprobe=1)
@@ -142,7 +142,7 @@ def ann_kmeans_centroids(spark, sf_dir):
     oracle-verified: DuckDB re-runs both iterations — deterministic
     seed centroids, argmax-cosine assignment, scaled-bigint centroid
     averaging, empty-cell carry-over — element by element."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     c = ss.kmeans_centroids(e, k=_KM_K, iters=2)
     return (c.select("cell", F.posexplode("c_emb").alias("pos", "m"))
             .select("cell", F.col("pos").cast("bigint").alias("pos"),
@@ -194,7 +194,7 @@ def ann_ivf_near_dup_edges(spark, sf_dir):
     near-dup set is non-trivial; the oracle re-derives the probe sets,
     the candidate-pair dedup, and every surviving edge — the IVF
     routing must recover every planted twin through a shared cell."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     base = e.select("vec_id", F.transform(
         "embedding", lambda x: x.cast("double")).alias("embedding"))
     twins = (e.filter(F.col("vec_id") < 100)
@@ -342,7 +342,7 @@ def ann_pq_codes(spark, sf_dir):
     exactly like ann_kmeans_centroids. Registry + pytest + oracle
     verified on demand; demoted from the driver window (see
     __spark_entry__)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     cb = ss.pq_codebooks(e, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K,
                          iters=_PQ_ITERS)
     return ss.pq_codes(e, cb, dim=_PQ_DIM, m=_PQ_M)
@@ -391,7 +391,7 @@ def ann_pq_adc_topk(spark, sf_dir):
     re-runs the full four-subspace Lloyd fit AND the LUT search in
     SQL. Registry + pytest + oracle verified on demand; demoted from
     the driver window (see __spark_entry__)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     cb = ss.pq_codebooks(e, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K,
                          iters=_PQ_ITERS)
     q_ = (e.filter(F.col("vec_id") < 25)
@@ -443,6 +443,6 @@ def ann_ivfpq_codes(spark, sf_dir):
     (cell, code, error) hash-matches. Registry + pytest + oracle
     verified on demand; demoted from the driver window (see
     __spark_entry__)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     return ss.ivfpq_codes(e, dim=_PQ_DIM, coarse_k=_IVFPQ_COARSE_K,
                           m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
