@@ -222,8 +222,18 @@ def run_connected_components(
     # min-label semantics (cluster_id = min member) survive the
     # round-trip; CC shuffles/compares then move 8-byte longs instead
     # of ~24-byte strings. Deterministic, hence resume-stable; also
-    # persisted to the checkpoint dir for auditability.
-    if resume and io.exists(spark, "node_ids"):
+    # persisted to the checkpoint dir for auditability. The encode
+    # pays when superstep count × byte savings beats its ~4 extra edge
+    # passes — deep generic graphs, not hub-bounded diameter-2 pair
+    # graphs — so LOCAL runs make it configurable (cc_encode_ids,
+    # default off; labels are identical either way, hash-verified:
+    # Spark's UTF8 binary string order equals the rank order). Durable
+    # runs always encode (the resume layout stores node_ids).
+    encode = durable or getattr(cfg, "cc_encode_ids", True)
+    if not encode:
+        node_ids = None
+        cur = edges  # already localCheckpointed above
+    elif resume and io.exists(spark, "node_ids"):
         node_ids = io.read(spark, "node_ids")
     else:
         # one scan (explode), not a 2-scan union — the input relation is
@@ -240,20 +250,21 @@ def run_connected_components(
         nodes = cut(nodes, "nodes")
         node_ids = cut(_dense_rank_ids(nodes), "node_ids")
 
-    if resume and io.exists(spark, "edges_step_init"):
-        cur = io.read(spark, "edges_step_init")
-    else:
-        cur = (edges
-               .join(node_ids.withColumnRenamed("mention_id", "src")
-                     .withColumnRenamed("nid", "src_id"), "src")
-               .join(node_ids.withColumnRenamed("mention_id", "dst")
-                     .withColumnRenamed("nid", "dst_id"), "dst")
-               .select(F.col("src_id").alias("src"),
-                       F.col("dst_id").alias("dst")))
-        # materialize the encoded edge list once — every superstep
-        # consumes its input twice (sym → groupBy + join), so an
-        # unmaterialized encode would re-run its joins per consumption
-        cur = cut(cur, "edges_step_init")
+    if encode:
+        if resume and io.exists(spark, "edges_step_init"):
+            cur = io.read(spark, "edges_step_init")
+        else:
+            cur = (edges
+                   .join(node_ids.withColumnRenamed("mention_id", "src")
+                         .withColumnRenamed("nid", "src_id"), "src")
+                   .join(node_ids.withColumnRenamed("mention_id", "dst")
+                         .withColumnRenamed("nid", "dst_id"), "dst")
+                   .select(F.col("src_id").alias("src"),
+                           F.col("dst_id").alias("dst")))
+            # materialize the encoded edge list once — every superstep
+            # consumes its input twice (sym → groupBy + join), so an
+            # unmaterialized encode would re-run its joins per consumption
+            cur = cut(cur, "edges_step_init")
 
     if resume:
         step = _max_committed_step(spark, io, ckpt)
@@ -295,6 +306,9 @@ def run_connected_components(
     labels = labels.select(
         F.col("src").alias("nid"),
         F.least("mn", F.col("src")).alias("cl_id"))
+    if not encode:
+        return labels.select(F.col("nid").alias("mention_id"),
+                             F.col("cl_id").alias("cluster_id"))
     # decode back to mention_id strings
     return (labels
             .join(node_ids, "nid")

@@ -84,6 +84,15 @@ class SemlinkConfig:
     # a few MB); 0 disables. Durable/resume runs always take the
     # superstep path.
     cc_local_fastpath_edges: int = 65_536
+    # Encode mention-id strings to dense longs before the supersteps?
+    # The encode/decode costs ~4 extra passes over the edge relation
+    # (node distinct, rank, encode join, decode join); it pays when
+    # superstep count × string-vs-long shuffle savings exceeds that —
+    # deep generic graphs (O(log² n) rounds), not the pipeline's
+    # hub-bounded diameter-2 graph (2 rounds; A/B at bench scale:
+    # encoded 8.6-9.9 s vs direct 6.4-6.7 s, labels hash-identical).
+    # Durable runs ALWAYS encode (the resume layout stores node_ids).
+    cc_encode_ids: bool = False
 
     # --- IO ---
     table_format: str = "parquet"          # "iceberg" on a real cluster (io.py)
