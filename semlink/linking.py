@@ -326,9 +326,15 @@ def relatedness_table(page_links: DataFrame, entities: DataFrame,
           .select("src_id", F.col("dst_id").alias("e"))
           .distinct())
     K = cfg.max_source_out_degree
-    ok_src = (il.groupBy("src_id").agg(F.count(F.lit(1)).alias("d"))
-              .filter(F.col("d") <= K).select("src_id"))
-    il = il.join(ok_src, "src_id", "left_semi")
+    # degree cap via a window count on the join key (one exchange both
+    # self-join sides reuse, the LSH-cap shape) instead of groupBy +
+    # left-semi; then cut the capped table once — it feeds the size
+    # aggregation AND both sides of the intersection self-join
+    # (round-6; guide §2.4/§5)
+    il = (il.withColumn(
+            "_d", F.count(F.lit(1)).over(Window.partitionBy("src_id")))
+          .filter(F.col("_d") <= K).drop("_d")
+          .localCheckpoint(eager=True))
     sizes = il.groupBy("e").agg(F.count(F.lit(1)).alias("n_in"))
     # N stays lazy: a 1-row aggregate cross-joined in (no driver action)
     n_df = page_links.select(
