@@ -192,9 +192,10 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame,
     LSH). Lambda-free exploded shingles (distinct per doc) + join on
     shingle, then |∩| / (|A|+|B|-|∩|)."""
     # the distinct shingle table is consumed THREE times (both sides
-    # of the intersection join + the size table) — cut it once so the
-    # shingle explode + distinct doesn't run per consumer (round-6;
-    # guide §5 caching)
+    # of the intersection join + the size table) and the candidate
+    # pair table TWICE (intersection + final join), re-running their
+    # upstream chains per consumer — cut each once (round-6; guide §5)
+    pairs = pairs.localCheckpoint(eager=True)
     sh = (shingles_exploded(df, id_col, text_col, n)
           .withColumnRenamed(id_col, "_id").distinct()
           .localCheckpoint(eager=True))
