@@ -170,13 +170,21 @@ def fit_boosted_stumps(feats: DataFrame, feature_cols: list[str],
                     float(np.exp(alpha))).otherwise(float(np.exp(-alpha)))
         d = d.withColumn("w9", F.round(F.col("w9") * up).cast("bigint"))
         # deterministic renormalization to ~1e9 per row (exact integer
-        # total; per-row double multiply is order-independent)
-        t9 = d.agg(F.sum("w9")).first()[0]
-        d = (d.withColumn(
-                "w9",
-                F.greatest(F.lit(1), F.round(
-                    F.col("w9") * (float(n) * 1e9 / float(t9))).cast("bigint")))
-             .localCheckpoint(eager=True))
+        # total; per-row double multiply is order-independent). The
+        # total rides the checkpoint materialization as an Observation
+        # — the CC convergence-probe pattern — so each round is TWO
+        # actions (stump errors + checkpoint), not three; the renorm
+        # itself stays a lazy column over the checkpointed raw weights
+        # with the identical (n, t9) arithmetic (round-6).
+        from pyspark.sql import Observation
+        obs = Observation(f"stump_t9_{rnd}_{id(d)}")
+        d = d.observe(obs, F.sum("w9").alias("t9")) \
+             .localCheckpoint(eager=True)
+        t9 = obs.get["t9"]
+        d = d.withColumn(
+            "w9",
+            F.greatest(F.lit(1), F.round(
+                F.col("w9") * (float(n) * 1e9 / float(t9))).cast("bigint")))
     return stumps
 
 
