@@ -40,8 +40,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the documents table is one small scan split at bench
     # scale, and nearly every consumer runs a compute-dense stage
     # directly on the scan partitioning (shingle/n-gram explode, Arrow
-    # media decode, regex batteries) — see _spread
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # media decode, regex batteries) — see _spread. Consumers whose
+    # work does NOT amortize the extra exchange (single explode +
+    # one map-side-combined groupBy) read via _docs_raw instead
+    # (round-6 PERF diff vs r05: only langid / lang_mix / minhash
+    # signatures paid more than they gained).
+    return _spread(_docs_raw(spark, sf_dir))
+
+
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _read(spark, sf_dir, name):

@@ -38,7 +38,8 @@ _MINHASH_SQL = "".join([
 
 @q("dedup_minhash_signatures", _MINHASH_SQL)
 def dedup_minhash_signatures(spark, sf_dir):
-    return dd.minhash_signatures(_docs(spark, sf_dir))
+    from . import _docs_raw
+    return dd.minhash_signatures(_docs_raw(spark, sf_dir))
 
 
 _BUCKET_SQL = " UNION ALL ".join(

@@ -69,8 +69,9 @@ def text_langid(spark, sf_dir):
     byte-excess channel; the oracle re-derives the entire scoring
     (profile VALUES, density ratios, argmax window, 'und' threshold)
     in DuckDB."""
-    d = _docs(spark, sf_dir)
-    r = ts.lang_id(d)
+    from . import _docs_raw
+    d = _docs_raw(spark, sf_dir)   # one explode + one combined groupBy:
+    r = ts.lang_id(d)              # does not amortize the spread exchange
     return (d.select("doc_id", "lang").join(r, "doc_id")
             .select("doc_id", "lang", "lang_pred", "top_score6"))
 
@@ -656,4 +657,5 @@ def text_lang_mix(spark, sf_dir):
     code-switching drop class beside text_langid's argmax. Registry +
     pytest + oracle verified on demand; demoted from the driver
     window (see __spark_entry__)."""
-    return ts.lang_mix(_docs(spark, sf_dir))
+    from . import _docs_raw
+    return ts.lang_mix(_docs_raw(spark, sf_dir))
