@@ -109,7 +109,11 @@ def main():
 
     # 6. relatedness self-join is capped + aggregated with partial aggs
     from semlink.linking import relatedness_table
-    p6 = formatted(relatedness_table(fx["page_links"], anchors))
+    # materialize=False: the round-6 localCheckpoint of the capped
+    # inlink table truncates lineage to a LogicalRDD, which would hide
+    # the LeftSemi entity reduction this check asserts on
+    p6 = formatted(relatedness_table(fx["page_links"], anchors,
+                                     materialize=False))
     sections["MW relatedness (X6)"] = p6
     checks.append(("relatedness fan-out cap applied (LeftSemi before join)",
                    "LeftSemi" in p6))
